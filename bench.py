@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Benchmark: train+inference throughput (images/sec/chip) on the flagship model.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Workload definition follows BASELINE.md: 512x512 input, batch 16, Adam,
+down_ratio 4 — the reference's training defaults (configs/defaults.yaml:102-109,
+datasets/coco.py:25). Runs on whatever accelerator jax sees (one TPU chip
+under the driver). Until the DLA-34+DCN backend lands, the flagship is
+ResNet-18 (driver config #1); the backend is switchable via BENCH_BACKEND.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    backend_name = os.environ.get("BENCH_BACKEND", "resnet")
+    batch_size = int(os.environ.get("BENCH_BATCH", 16))
+    input_size = int(os.environ.get("BENCH_SIZE", 512))
+    steps = int(os.environ.get("BENCH_STEPS", 20))
+    warmup = int(os.environ.get("BENCH_WARMUP", 3))
+
+    import __graft_entry__ as ge
+
+    if backend_name == "dla":
+        backend_params = {"num_classes": 6, "pretrained": False}
+    else:
+        backend_params = {"num_layers": 18, "num_classes": 6,
+                          "pretrained": False}
+
+    trainer = ge._build_trainer(
+        batch_size=batch_size, input_size=input_size,
+        backend_name=backend_name, backend_params=backend_params,
+    )
+    trainer.init_done()
+    batch = ge._tiny_batch(batch_size, input_size)
+
+    # --- training throughput -------------------------------------------
+    for _ in range(warmup):
+        out = trainer.step(batch, is_training=True)
+    jax.block_until_ready(out["stats"]["total_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = trainer.step(batch, is_training=True)
+    jax.block_until_ready(out["stats"]["total_loss"])
+    train_dt = time.perf_counter() - t0
+    train_ips = batch_size * steps / train_dt
+
+    # --- inference (forward + decode) throughput ------------------------
+    import jax.numpy as jnp
+
+    from centernet_uda_tpu.ops.decode import decode_detections
+
+    module = trainer.backend.module
+    state = trainer.state
+
+    @jax.jit
+    def infer(params, batch_stats, x):
+        outputs = module.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False
+        )
+        return decode_detections(
+            outputs["hm"], outputs["wh"], outputs["reg"], k=100,
+            apply_sigmoid=True,
+        )
+
+    x = jnp.asarray(batch["input"])
+    dets = infer(state.params, state.batch_stats, x)
+    jax.block_until_ready(dets)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        dets = infer(state.params, state.batch_stats, x)
+    jax.block_until_ready(dets)
+    infer_dt = time.perf_counter() - t0
+    infer_ips = batch_size * steps / infer_dt
+
+    # combined train+infer images/sec/chip (harmonic-style: one train step
+    # plus one inference pass per image)
+    combined = 1.0 / (1.0 / train_ips + 1.0 / infer_ips)
+
+    n_chips = max(jax.device_count(), 1)
+    result = {
+        "metric": f"{backend_name} {input_size}px train+infer throughput",
+        "value": round(combined / n_chips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "detail": {
+            "train_images_per_sec": round(train_ips, 2),
+            "infer_images_per_sec": round(infer_ips, 2),
+            "batch_size": batch_size,
+            "devices": n_chips,
+            "platform": jax.devices()[0].platform,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

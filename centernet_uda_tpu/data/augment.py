@@ -1,0 +1,404 @@
+"""Image augmentation with an imgaug-compatible YAML registry.
+
+The reference instantiates ``imgaug.augmenters.<Name>(**params)`` by
+reflection from the experiment YAML (utils/helper.py:53-71) and composes
+them with ``iaa.Sequential`` (datasets/coco.py:60-62). imgaug is not in the
+TPU image, so this module implements the augmenters the reference configs
+use — same names, same parameter spellings, same range-sampling semantics
+(a 2-list in YAML is a uniform range; utils/helper.py:64-66 converts lists
+to tuples) — in numpy + OpenCV.
+
+Geometry is tracked jointly: every augmenter transforms the image and the
+attached boxes (N, 4 as x1y1x2y2) / keypoints (M, 2) consistently; affine
+ops transform box corners and re-fit the axis-aligned envelope exactly like
+imgaug's BoundingBox behavior.
+
+Registry entry point: ``instantiate_augmenters(list_cfg) -> Sequential``
+(twin of utils/helper.py:53-71).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from typing import Any, List, Optional, Sequence, Tuple, Union
+
+import cv2
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+cv2.setNumThreads(0)  # avoid thread explosion in loader workers (datasets/coco.py:19)
+
+Range = Union[float, int, Tuple[float, float], List[float]]
+
+
+def _sample(param: Range, rng: np.random.RandomState) -> float:
+    """imgaug-style stochastic parameter: scalar = deterministic, 2-seq = uniform."""
+    if isinstance(param, (tuple, list)):
+        lo, hi = float(param[0]), float(param[1])
+        return float(rng.uniform(lo, hi))
+    return float(param)
+
+
+def _sample_int(param: Range, rng: np.random.RandomState) -> int:
+    if isinstance(param, (tuple, list)):
+        lo, hi = int(param[0]), int(param[1])
+        return int(rng.randint(lo, hi + 1))
+    return int(param)
+
+
+class Augmenter:
+    """Base: ``__call__(image, boxes, keypoints, rng)`` -> transformed triple."""
+
+    def __call__(
+        self,
+        image: np.ndarray,
+        boxes: Optional[np.ndarray] = None,
+        keypoints: Optional[np.ndarray] = None,
+        rng: Optional[np.random.RandomState] = None,
+    ):
+        rng = rng or np.random
+        return self.apply(image, boxes, keypoints, rng)
+
+    def apply(self, image, boxes, keypoints, rng):  # pragma: no cover
+        raise NotImplementedError
+
+
+class Sequential(Augmenter):
+    def __init__(self, children: Sequence[Augmenter]):
+        self.children = list(children)
+
+    def apply(self, image, boxes, keypoints, rng):
+        for child in self.children:
+            image, boxes, keypoints = child.apply(image, boxes, keypoints, rng)
+        return image, boxes, keypoints
+
+
+class Sometimes(Augmenter):
+    """Apply ``then_list`` with probability ``p`` (imgaug.Sometimes)."""
+
+    def __init__(self, p: float = 0.5, then_list: Sequence[Augmenter] = ()):
+        self.p = float(p)
+        self.then = Sequential(then_list)
+
+    def apply(self, image, boxes, keypoints, rng):
+        if rng.rand() < self.p:
+            return self.then.apply(image, boxes, keypoints, rng)
+        return image, boxes, keypoints
+
+
+class _AffineBase(Augmenter):
+    """Shared machinery: apply a 2x3 matrix to image + boxes + keypoints."""
+
+    @staticmethod
+    def warp(image, boxes, keypoints, m: np.ndarray, out_wh=None):
+        h, w = image.shape[:2]
+        out_w, out_h = out_wh if out_wh is not None else (w, h)
+        image = cv2.warpAffine(
+            image, m, (out_w, out_h), flags=cv2.INTER_LINEAR,
+            borderMode=cv2.BORDER_CONSTANT, borderValue=0,
+        )
+
+        def tx(pts):  # (N, 2) points
+            ones = np.ones((pts.shape[0], 1), pts.dtype)
+            return np.concatenate([pts, ones], axis=1) @ m.T
+
+        if boxes is not None and len(boxes):
+            corners = np.stack(
+                [
+                    boxes[:, [0, 1]], boxes[:, [2, 1]],
+                    boxes[:, [2, 3]], boxes[:, [0, 3]],
+                ],
+                axis=1,
+            ).reshape(-1, 2)
+            corners = tx(corners.astype(np.float64)).reshape(-1, 4, 2)
+            boxes = np.concatenate(
+                [corners.min(axis=1), corners.max(axis=1)], axis=1
+            ).astype(np.float32)
+        if keypoints is not None and len(keypoints):
+            keypoints = tx(keypoints.astype(np.float64)).astype(np.float32)
+        return image, boxes, keypoints
+
+
+class Affine(_AffineBase):
+    """imgaug.Affine subset: translate_percent, scale, rotate, shear.
+
+    Scale and rotation are about the image center; translation is a fraction
+    of the image size (imgaug semantics for the reference config at
+    configs/defaults.yaml:49-52).
+    """
+
+    def __init__(self, translate_percent: Range = 0.0, scale: Range = 1.0,
+                 rotate: Range = 0.0, shear: Range = 0.0):
+        self.translate_percent = translate_percent
+        self.scale = scale
+        self.rotate = rotate
+        self.shear = shear
+
+    def apply(self, image, boxes, keypoints, rng):
+        h, w = image.shape[:2]
+        s = _sample(self.scale, rng)
+        r = math.radians(_sample(self.rotate, rng))
+        sh = math.radians(_sample(self.shear, rng))
+        tx = _sample(self.translate_percent, rng) * w
+        ty = _sample(self.translate_percent, rng) * h
+
+        cx, cy = w / 2.0, h / 2.0
+        cos_r, sin_r = math.cos(r), math.sin(r)
+        # rotate+shear+scale about center, then translate
+        a = s * cos_r
+        b = s * -math.sin(r + sh)
+        c = s * sin_r
+        d = s * math.cos(r + sh)
+        m = np.array(
+            [
+                [a, b, cx - a * cx - b * cy + tx],
+                [c, d, cy - c * cx - d * cy + ty],
+            ],
+            np.float64,
+        )
+        return self.warp(image, boxes, keypoints, m)
+
+
+class Fliplr(Augmenter):
+    def __init__(self, p: float = 0.5):
+        self.p = float(p)
+
+    def apply(self, image, boxes, keypoints, rng):
+        if rng.rand() >= self.p:
+            return image, boxes, keypoints
+        w = image.shape[1]
+        image = np.ascontiguousarray(image[:, ::-1])
+        if boxes is not None and len(boxes):
+            boxes = boxes.copy()
+            x1 = w - boxes[:, 2]
+            x2 = w - boxes[:, 0]
+            boxes[:, 0], boxes[:, 2] = x1, x2
+        if keypoints is not None and len(keypoints):
+            keypoints = keypoints.copy()
+            keypoints[:, 0] = w - keypoints[:, 0]
+        return image, boxes, keypoints
+
+
+class Flipud(Augmenter):
+    def __init__(self, p: float = 0.5):
+        self.p = float(p)
+
+    def apply(self, image, boxes, keypoints, rng):
+        if rng.rand() >= self.p:
+            return image, boxes, keypoints
+        h = image.shape[0]
+        image = np.ascontiguousarray(image[::-1])
+        if boxes is not None and len(boxes):
+            boxes = boxes.copy()
+            y1 = h - boxes[:, 3]
+            y2 = h - boxes[:, 1]
+            boxes[:, 1], boxes[:, 3] = y1, y2
+        if keypoints is not None and len(keypoints):
+            keypoints = keypoints.copy()
+            keypoints[:, 1] = h - keypoints[:, 1]
+        return image, boxes, keypoints
+
+
+class Crop(_AffineBase):
+    """imgaug.Crop(percent=...): crop each side by an independently sampled
+    percentage, then resize back to the original size (keep_size=True)."""
+
+    def __init__(self, percent: Range = 0.0, sample_independently: bool = True):
+        self.percent = percent
+        self.sample_independently = sample_independently
+
+    def apply(self, image, boxes, keypoints, rng):
+        h, w = image.shape[:2]
+        if self.sample_independently:
+            fracs = [_sample(self.percent, rng) for _ in range(4)]
+        else:
+            fracs = [_sample(self.percent, rng)] * 4
+        top, right, bottom, left = fracs
+        t, r_, b, l_ = (int(top * h), int(right * w), int(bottom * h), int(left * w))
+        new_h, new_w = max(h - t - b, 1), max(w - l_ - r_, 1)
+
+        sx, sy = w / new_w, h / new_h
+        m = np.array([[sx, 0, -l_ * sx], [0, sy, -t * sy]], np.float64)
+        return self.warp(image, boxes, keypoints, m, out_wh=(w, h))
+
+
+class Resize(_AffineBase):
+    """Deterministic resize to (height, width) — the reference wraps its
+    square input_size in iaa.Resize (datasets/coco.py:64-67)."""
+
+    def __init__(self, size):
+        if isinstance(size, (int, float)):
+            size = (int(size), int(size))
+        self.height, self.width = int(size[0]), int(size[1])
+
+    def apply(self, image, boxes, keypoints, rng):
+        h, w = image.shape[:2]
+        sx, sy = self.width / w, self.height / h
+        image = cv2.resize(image, (self.width, self.height),
+                           interpolation=cv2.INTER_LINEAR)
+        if boxes is not None and len(boxes):
+            boxes = boxes * np.array([sx, sy, sx, sy], np.float32)
+        if keypoints is not None and len(keypoints):
+            keypoints = keypoints * np.array([sx, sy], np.float32)
+        return image, boxes, keypoints
+
+    def scale_points(self, points: np.ndarray, src_hw) -> np.ndarray:
+        """Rescale points alone (the reference's resize_out on targets,
+        datasets/coco.py:186-189)."""
+        sy, sx = self.height / src_hw[0], self.width / src_hw[1]
+        return points * np.array([sx, sy], np.float32)
+
+
+class AddToHue(Augmenter):
+    def __init__(self, value: Range = (-20, 20)):
+        self.value = value
+
+    def apply(self, image, boxes, keypoints, rng):
+        v = _sample(self.value, rng)
+        hsv = cv2.cvtColor(image, cv2.COLOR_RGB2HSV_FULL).astype(np.int16)
+        hsv[..., 0] = (hsv[..., 0] + int(v)) % 256
+        image = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB_FULL)
+        return image, boxes, keypoints
+
+
+class AddToBrightness(Augmenter):
+    def __init__(self, add: Range = (-30, 30)):
+        self.add = add
+
+    def apply(self, image, boxes, keypoints, rng):
+        v = _sample(self.add, rng)
+        hsv = cv2.cvtColor(image, cv2.COLOR_RGB2HSV).astype(np.int16)
+        hsv[..., 2] = np.clip(hsv[..., 2] + int(v), 0, 255)
+        image = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+        return image, boxes, keypoints
+
+
+class Multiply(Augmenter):
+    def __init__(self, mul: Range = (0.8, 1.2)):
+        self.mul = mul
+
+    def apply(self, image, boxes, keypoints, rng):
+        m = _sample(self.mul, rng)
+        image = np.clip(image.astype(np.float32) * m, 0, 255).astype(np.uint8)
+        return image, boxes, keypoints
+
+
+class LinearContrast(Augmenter):
+    def __init__(self, alpha: Range = (0.9, 1.1)):
+        self.alpha = alpha
+
+    def apply(self, image, boxes, keypoints, rng):
+        a = _sample(self.alpha, rng)
+        image = np.clip((image.astype(np.float32) - 127) * a + 127, 0, 255)
+        return image.astype(np.uint8), boxes, keypoints
+
+
+class MotionBlur(Augmenter):
+    def __init__(self, k: Range = 5, angle: Range = (0, 360)):
+        self.k = k
+        self.angle = angle
+
+    def apply(self, image, boxes, keypoints, rng):
+        k = max(_sample_int(self.k, rng), 3)
+        angle = _sample(self.angle, rng)
+        kernel = np.zeros((k, k), np.float32)
+        kernel[k // 2, :] = 1.0
+        m = cv2.getRotationMatrix2D((k / 2 - 0.5, k / 2 - 0.5), angle, 1.0)
+        kernel = cv2.warpAffine(kernel, m, (k, k))
+        kernel /= max(kernel.sum(), 1e-8)
+        image = cv2.filter2D(image, -1, kernel)
+        return image, boxes, keypoints
+
+
+class GaussianBlur(Augmenter):
+    def __init__(self, sigma: Range = (0.0, 2.0)):
+        self.sigma = sigma
+
+    def apply(self, image, boxes, keypoints, rng):
+        s = _sample(self.sigma, rng)
+        if s > 1e-3:
+            image = cv2.GaussianBlur(image, (0, 0), sigmaX=s)
+        return image, boxes, keypoints
+
+
+class AdditiveGaussianNoise(Augmenter):
+    def __init__(self, scale: Range = (0, 10), per_channel: bool = False):
+        self.scale = scale
+        self.per_channel = per_channel
+
+    def apply(self, image, boxes, keypoints, rng):
+        s = _sample(self.scale, rng)
+        noise = rng.randn(*image.shape).astype(np.float32) * s
+        image = np.clip(image.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+        return image, boxes, keypoints
+
+
+class Grayscale(Augmenter):
+    def __init__(self, alpha: Range = 1.0):
+        self.alpha = alpha
+
+    def apply(self, image, boxes, keypoints, rng):
+        a = _sample(self.alpha, rng)
+        gray = cv2.cvtColor(image, cv2.COLOR_RGB2GRAY)[..., None].astype(np.float32)
+        image = np.clip(
+            image.astype(np.float32) * (1 - a) + gray * a, 0, 255
+        ).astype(np.uint8)
+        return image, boxes, keypoints
+
+
+class Rotate(Affine):
+    def __init__(self, rotate: Range = (-30, 30)):
+        super().__init__(rotate=rotate)
+
+
+_REGISTRY = {
+    "Sequential": Sequential,
+    "Sometimes": Sometimes,
+    "Affine": Affine,
+    "Fliplr": Fliplr,
+    "Flipud": Flipud,
+    "Crop": Crop,
+    "Resize": Resize,
+    "AddToHue": AddToHue,
+    "AddToBrightness": AddToBrightness,
+    "Multiply": Multiply,
+    "LinearContrast": LinearContrast,
+    "MotionBlur": MotionBlur,
+    "GaussianBlur": GaussianBlur,
+    "AdditiveGaussianNoise": AdditiveGaussianNoise,
+    "Grayscale": Grayscale,
+    "Rotate": Rotate,
+}
+
+
+def instantiate_augmenters(augmentation_list) -> List[Augmenter]:
+    """Instantiate augmenters from the YAML list format.
+
+    Twin of utils/helper.py:53-71: each list item is ``{Name: {params}}``;
+    ``Sometimes.then_list`` recurses; 2-element lists act as uniform ranges.
+    """
+    methods: List[Augmenter] = []
+    for item in augmentation_list:
+        if hasattr(item, "to_dict"):
+            item = item.to_dict()
+        name = list(item)[0]
+        params = dict(item[name] or {})
+        if hasattr(params, "to_dict"):
+            params = params.to_dict()
+
+        if name == "Sometimes":
+            params["then_list"] = instantiate_augmenters(params["then_list"])
+
+        for key, value in params.items():
+            if isinstance(value, list) and key != "then_list":
+                params[key] = tuple(value)
+
+        if name not in _REGISTRY:
+            raise KeyError(
+                f"unknown augmenter '{name}'; available: {sorted(_REGISTRY)}"
+            )
+        methods.append(_REGISTRY[name](**params))
+        log.debug("registered augmenter %s", name)
+    return methods

@@ -1,0 +1,153 @@
+"""Shared model building blocks: deconv neck, prediction heads, backend wrapper.
+
+TPU-first counterparts of the reference neck/head patterns
+(``backends/resnet.py:43-51,75-100``): NHWC layout, Flax modules,
+BatchNorm with flax running-stats (torch momentum 0.1 == flax momentum 0.9).
+Under pjit the batch statistics are computed over the *global* (all-chip)
+batch — a deliberate improvement over ``nn.DataParallel``'s per-GPU BN
+(utils/helper.py:75-80); see SURVEY §7 "BatchNorm semantics".
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# torch BatchNorm2d(momentum=0.1) == flax BatchNorm(momentum=0.9)
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-5
+
+
+def batch_norm(train: bool, name: Optional[str] = None, dtype=jnp.float32) -> nn.BatchNorm:
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=BN_MOMENTUM,
+        epsilon=BN_EPS,
+        name=name,
+        dtype=dtype,
+    )
+
+
+class DeconvNeck(nn.Module):
+    """Upsampling neck: N x [ConvTranspose(k=4, s=2) + BN + ReLU].
+
+    Twin of ``CenterResNet._make_deconv_layer`` (backends/resnet.py:75-100):
+    three 2x transposed convolutions to 256 channels, no bias, BN momentum
+    0.1 (torch), ReLU. Takes the backbone's stride-32 feature map to
+    stride 4.
+    """
+
+    num_filters: Sequence[int] = (256, 256, 256)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        for i, planes in enumerate(self.num_filters):
+            x = nn.ConvTranspose(
+                features=planes,
+                kernel_size=(4, 4),
+                strides=(2, 2),
+                padding="SAME",
+                use_bias=False,
+                dtype=self.dtype,
+                name=f"deconv{i}",
+            )(x)
+            x = batch_norm(train, name=f"bn{i}", dtype=self.dtype)(x)
+            x = nn.relu(x)
+        return x
+
+
+class UpsampleConvNeck(nn.Module):
+    """Alternative neck: N x [nearest-Upsample 2x + Conv3x3 + BN + ReLU].
+
+    Twin of the EfficientNet backend's ``use_deconv=False`` path
+    (backends/efficientnet.py:176-185). Resize+conv avoids transposed-conv
+    checkerboarding and lowers to pure conv on the MXU.
+    """
+
+    num_filters: Sequence[int] = (256, 256, 256)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        for i, planes in enumerate(self.num_filters):
+            b, h, w, c = x.shape
+            x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+            x = nn.Conv(planes, (3, 3), padding="SAME", use_bias=False,
+                        dtype=self.dtype, name=f"upconv{i}")(x)
+            x = batch_norm(train, name=f"bn{i}", dtype=self.dtype)(x)
+            x = nn.relu(x)
+        return x
+
+
+class CenterNetHeads(nn.Module):
+    """Per-task prediction heads.
+
+    Twin of the reference head stack (backends/resnet.py:43-51): for each
+    head a Conv3x3(-> head_conv) + ReLU + Conv1x1(-> out_channels). The
+    heatmap head's final bias can be initialized to ``hm_bias`` (-2.19 for
+    DLA, backends/dla.py:485,493) so initial peak probabilities start near
+    the focal-loss-friendly 0.1.
+    """
+
+    heads: Dict[str, int]
+    head_conv: int = 64
+    hm_bias: Optional[float] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Dict[str, jax.Array]:
+        out = {}
+        for head in sorted(self.heads):
+            num_output = self.heads[head]
+            y = nn.Conv(self.head_conv, (3, 3), padding="SAME", use_bias=True,
+                        dtype=self.dtype, name=f"{head}_conv")(x)
+            y = nn.relu(y)
+            bias_init = nn.initializers.zeros
+            if head == "hm" and self.hm_bias is not None:
+                bias_init = nn.initializers.constant(self.hm_bias)
+            y = nn.Conv(num_output, (1, 1), use_bias=True, dtype=self.dtype,
+                        bias_init=bias_init, name=f"{head}_out")(y)
+            out[head] = y.astype(jnp.float32)
+        return out
+
+
+def make_heads_dict(num_classes: int, num_keypoints: int, rotated_boxes: bool
+                    ) -> Dict[str, int]:
+    """The backend head contract (backends/resnet.py:106-116)."""
+    heads = {"hm": num_classes, "wh": 3 if rotated_boxes else 2, "reg": 2}
+    if num_keypoints > 0:
+        heads["kps"] = num_keypoints * 2
+    return heads
+
+
+@dataclass
+class Backend:
+    """A built backend: Flax module + the metadata train.py reads.
+
+    Mirrors the reference module contract — ``forward(x) -> head dict`` plus
+    ``.down_ratio`` / ``.rotated_boxes`` attributes (backends/resnet.py:25-26,
+    read at train.py:119 and uda/base.py:82-96).
+    """
+
+    module: nn.Module
+    down_ratio: int
+    rotated_boxes: bool
+    num_classes: int
+    num_keypoints: int
+    heads: Dict[str, int]
+    name: str = "backend"
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+    def init(self, rng: jax.Array, input_size: Tuple[int, int] = (512, 512)
+             ) -> Dict[str, Any]:
+        """Initialize variables with a dummy NHWC batch."""
+        x = jnp.zeros((1, input_size[1], input_size[0], 3), jnp.float32)
+        return self.module.init(rng, x, train=False)
+
+    def apply(self, variables, x, train: bool = False, mutable=False):
+        return self.module.apply(variables, x, train=train, mutable=mutable)

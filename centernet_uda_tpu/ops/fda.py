@@ -12,6 +12,8 @@ Layout: images are NHWC (B, H, W, C); the FFT runs over the spatial axes.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -34,7 +36,7 @@ def _low_freq_mask(h: int, w: int, beta: float, use_circular: bool) -> jnp.ndarr
         # cv2.ellipse(axes=(a, b)) rasterizes x^2/a^2 + y^2/b^2 <= 1 with the
         # first axis horizontal; the reference passes axes=(h*L, w*L).
         return (fx / ay) ** 2 + (fy / ax) ** 2 <= 1.0
-    b = int(jnp.floor(min(h, w) * beta))
+    b = int(math.floor(min(h, w) * beta))
     return (fy < b) & (fx < b)
 
 

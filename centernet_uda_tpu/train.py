@@ -79,6 +79,10 @@ def load_datasets(cfg, down_ratio: int, rotated_boxes: bool):
 def build_trainer(cfg):
     """Assemble backend + loss + optimizer + UDA strategy (train.py:85-134)."""
     backend_params = cfg.model.backend.params.to_dict()
+    if str(cfg.get("precision", "float32")) == "bfloat16":
+        import jax.numpy as jnp
+
+        backend_params.setdefault("dtype", jnp.bfloat16)
     backend = model_registry.build(cfg.model.backend.name, **backend_params)
 
     uda_cfg = cfg.model.get("uda")
@@ -106,12 +110,24 @@ def build_trainer(cfg):
         )
 
     mesh_cfg = cfg.get("mesh")
-    if mesh_cfg or _should_auto_mesh(int(cfg.get("batch_size", 1))):
+    n_data = int(mesh_cfg.get("data", 0)) if mesh_cfg else 0
+    # `gpu: [0, 1]` (the reference's DataParallel switch, train.py:76-78)
+    # maps onto an N-chip data mesh
+    gpu_cfg = cfg.get("gpu")
+    if not n_data and isinstance(gpu_cfg, (list, tuple)):
+        n_data = len(gpu_cfg)
+    import jax
+
+    if n_data > jax.device_count():
+        log.warning(
+            "requested %d-way data parallelism but only %d device(s) "
+            "available; running single-device", n_data, jax.device_count(),
+        )
+        n_data = 0
+    if n_data or _should_auto_mesh(int(cfg.get("batch_size", 1))):
         from centernet_uda_tpu.parallel.mesh import MeshContext
 
-        trainer.mesh = MeshContext.create(
-            data_parallel=(int(mesh_cfg.get("data", 0)) if mesh_cfg else 0) or None
-        )
+        trainer.mesh = MeshContext.create(data_parallel=n_data or None)
         log.info("training over mesh: %s", trainer.mesh.mesh)
 
     return trainer

@@ -14,6 +14,14 @@ from centernet_uda_tpu.uda.adversarial_entropy_minimization import (
 from centernet_uda_tpu.uda.fda import FDA
 
 _REGISTRY = {
+    # bare class names as used in experiment YAML `model.uda` keys
+    # (e.g. configs/experiment/entropy_minimization.yaml:6)
+    "Model": Model,
+    "EntropyMinimization": EntropyMinimization,
+    "MaxSquaresMinimization": MaxSquaresMinimization,
+    "AdversarialEntropyMinimization": AdversarialEntropyMinimization,
+    "FDA": FDA,
+    # dotted module.Class spellings also resolve (train.py:104 semantics)
     "base.Model": Model,
     "entropy_minimization.EntropyMinimization": EntropyMinimization,
     "max_squares_minimization.MaxSquaresMinimization": MaxSquaresMinimization,

@@ -108,12 +108,13 @@ class AdversarialEntropyMinimization(Model):
         self._build_step_fns()  # rebuild with discriminator in the state
 
     # ------------------------------------------------------------------
-    def _losses(self, params, disc_params, batch_stats, batch, train):
+    def _losses(self, params, disc_params, batch_stats, batch, train,
+                rng=None):
         outputs_src, batch_stats = self._apply_backend(
-            params, batch_stats, batch["input"], train
+            params, batch_stats, batch["input"], train, rng
         )
         outputs_tgt, batch_stats = self._apply_backend(
-            params, batch_stats, batch["target_domain_input"], train
+            params, batch_stats, batch["target_domain_input"], train, rng
         )
 
         task_loss, stats = self.centernet_loss(outputs_src, batch)
@@ -142,12 +143,17 @@ class AdversarialEntropyMinimization(Model):
 
     def _make_train_step(self):
         tx, disc_tx = self.tx, self.disc_tx
+        seed = int(self.cfg.get("seed", 42)) if self.cfg else 42
+        base_rng = jax.random.PRNGKey(seed + 7919)
 
         def train_step(state, batch):
+            rng = jax.random.fold_in(base_rng, state.step)
+
             def task_fn(params):
                 (outputs_src, outputs_tgt, task_loss, dtf_loss, stats,
                  new_bs) = self._losses(
-                    params, state.disc_params, state.batch_stats, batch, True
+                    params, state.disc_params, state.batch_stats, batch, True,
+                    rng
                 )
                 total = task_loss + dtf_loss
                 return total, (outputs_src, outputs_tgt, task_loss, dtf_loss,

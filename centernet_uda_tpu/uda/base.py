@@ -133,26 +133,27 @@ class Model:
     # ------------------------------------------------------------------
     # step functions
     # ------------------------------------------------------------------
-    def _apply_backend(self, params, batch_stats, x, train: bool):
+    def _apply_backend(self, params, batch_stats, x, train: bool, rng=None):
         """One backend forward; returns (head dict, new batch_stats)."""
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
+        rngs = {"dropout": rng} if (train and rng is not None) else None
         if train and batch_stats:
             outputs, new_state = self.backend.module.apply(
-                variables, x, train=True, mutable=["batch_stats"]
+                variables, x, train=True, mutable=["batch_stats"], rngs=rngs
             )
             return outputs, new_state["batch_stats"]
         outputs = self.backend.module.apply(variables, x, train=False)
         return outputs, batch_stats
 
-    def loss_terms(self, params, batch_stats, batch, train: bool):
+    def loss_terms(self, params, batch_stats, batch, train: bool, rng=None):
         """Compute total loss + aux. Subclasses add UDA terms here.
 
         Returns ``(loss, (outputs_dict, stats, new_batch_stats))``.
         """
         outputs_src, batch_stats = self._apply_backend(
-            params, batch_stats, batch["input"], train
+            params, batch_stats, batch["input"], train, rng
         )
         loss, stats = self.centernet_loss(outputs_src, batch)
         outputs = {"source_domain": outputs_src}
@@ -160,10 +161,15 @@ class Model:
 
     def _make_train_step(self):
         tx = self.tx
+        seed = int(self.cfg.get("seed", 42)) if self.cfg else 42
+        base_rng = jax.random.PRNGKey(seed + 7919)
 
         def train_step(state: TrainState, batch):
+            rng = jax.random.fold_in(base_rng, state.step)
+
             def loss_fn(params):
-                return self.loss_terms(params, state.batch_stats, batch, True)
+                return self.loss_terms(params, state.batch_stats, batch, True,
+                                       rng)
 
             (loss, (outputs, stats, new_bs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
@@ -232,8 +238,8 @@ class Model:
         batch = {
             k: v
             for k, v in data.items()
-            if isinstance(v, np.ndarray) and k not in ("gt_dets", "gt_areas",
-                                                       "gt_kps", "id")
+            if isinstance(v, (np.ndarray, jax.Array))
+            and k not in ("gt_dets", "gt_areas", "gt_kps", "id")
         }
         batch = jax.tree.map(jnp.asarray, batch)
         if self.mesh is not None:

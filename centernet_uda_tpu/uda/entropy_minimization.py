@@ -19,14 +19,14 @@ class EntropyMinimization(Model):
         self.entropy_loss = EntropyLoss()
         self.entropy_weight = float(entropy_weight)
 
-    def loss_terms(self, params, batch_stats, batch, train):
+    def loss_terms(self, params, batch_stats, batch, train, rng=None):
         outputs_src, batch_stats = self._apply_backend(
-            params, batch_stats, batch["input"], train
+            params, batch_stats, batch["input"], train, rng
         )
         # the second forward sees the stats updated by the first, matching
         # the reference's sequential module calls
         outputs_tgt, batch_stats = self._apply_backend(
-            params, batch_stats, batch["target_domain_input"], train
+            params, batch_stats, batch["target_domain_input"], train, rng
         )
 
         c_loss, c_stats = self.centernet_loss(outputs_src, batch)

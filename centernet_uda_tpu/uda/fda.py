@@ -25,7 +25,7 @@ class FDA(Model):
         self.eta = eta
         self.use_circular = bool(use_circular)
 
-    def loss_terms(self, params, batch_stats, batch, train):
+    def loss_terms(self, params, batch_stats, batch, train, rng=None):
         source = batch["input"]
         target = batch["target_domain_input"]
         mixed = fda_source_to_target(
@@ -33,10 +33,10 @@ class FDA(Model):
         )
 
         outputs_src, batch_stats = self._apply_backend(
-            params, batch_stats, mixed, train
+            params, batch_stats, mixed, train, rng
         )
         outputs_tgt, batch_stats = self._apply_backend(
-            params, batch_stats, target, train
+            params, batch_stats, target, train, rng
         )
 
         c_loss, c_stats = self.centernet_loss(outputs_src, batch)

@@ -18,12 +18,12 @@ class MaxSquaresMinimization(Model):
         self.max_squares_loss = MaxSquareLoss()
         self.max_squares_weight = float(max_squares_weight)
 
-    def loss_terms(self, params, batch_stats, batch, train):
+    def loss_terms(self, params, batch_stats, batch, train, rng=None):
         outputs_src, batch_stats = self._apply_backend(
-            params, batch_stats, batch["input"], train
+            params, batch_stats, batch["input"], train, rng
         )
         outputs_tgt, batch_stats = self._apply_backend(
-            params, batch_stats, batch["target_domain_input"], train
+            params, batch_stats, batch["target_domain_input"], train, rng
         )
 
         s_loss, s_stats = self.centernet_loss(outputs_src, batch)

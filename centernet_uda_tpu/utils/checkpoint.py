@@ -91,8 +91,18 @@ def load_checkpoint(
         return None, 0
 
     if path.suffix == ".pth":
-        params = load_torch_weights(path, state.params, backend_name)
-        return state.replace(params=params), 0
+        variables = load_torch_weights(
+            path,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            backend_name,
+        )
+        return (
+            state.replace(
+                params=variables["params"],
+                batch_stats=variables.get("batch_stats", state.batch_stats),
+            ),
+            0,
+        )
 
     with open(path, "rb") as f:
         data = pickle.load(f)
@@ -138,13 +148,14 @@ def load_checkpoint(
     return new_state, epoch
 
 
-def load_torch_weights(path, params, backend_name: str):
-    """Import a reference ``.pth`` checkpoint into our Flax parameter tree.
+def load_torch_weights(path, variables, backend_name: str):
+    """Import a reference ``.pth`` checkpoint into our Flax variables.
 
     Dispatches to per-backend key-mapping shims (torchvision/DLA state-dict
-    naming -> our module tree, OIHW -> HWIO kernel transposition). Backends
-    register their shim in ``centernet_uda_tpu.utils.torch_import``.
+    naming -> our module tree, OIHW -> HWIO kernel transposition, BN
+    running stats -> batch_stats). Backends register their shim in
+    ``centernet_uda_tpu.utils.torch_import``.
     """
     from centernet_uda_tpu.utils import torch_import
 
-    return torch_import.import_state_dict(path, params, backend_name)
+    return torch_import.import_state_dict(path, variables, backend_name)

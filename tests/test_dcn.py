@@ -1,0 +1,171 @@
+"""DCNv2 correctness tests — the properties of the reference kernel tests
+(libs/DCNv2/testcuda.py: zero-offset identity :32-67, gradcheck :69-97)
+plus a from-scratch numpy golden implementation of the im2col semantics
+(src/cuda/dcn_v2_im2col_cuda.cu:125-204)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from centernet_uda_tpu.ops.dcn import DCN, dcn_v2
+
+
+def np_dcn_v2(x, offset, mask, weight, bias, stride=1, padding=1, dilation=1):
+    """Scalar-loop numpy oracle of modulated deformable conv (NHWC/HWIO)."""
+    b, h, w, cin = x.shape
+    kh, kw, _, cout = weight.shape
+    k = kh * kw
+    _, ho, wo, _ = mask.shape
+    out = np.zeros((b, ho, wo, cout), np.float64)
+
+    def sample(img, py, px):
+        if py <= -1 or py >= h or px <= -1 or px >= w:
+            return np.zeros(cin)
+        y0, x0 = int(np.floor(py)), int(np.floor(px))
+        dy, dx = py - y0, px - x0
+        val = np.zeros(cin)
+        for (yy, xx, wgt) in [
+            (y0, x0, (1 - dy) * (1 - dx)),
+            (y0, x0 + 1, (1 - dy) * dx),
+            (y0 + 1, x0, dy * (1 - dx)),
+            (y0 + 1, x0 + 1, dy * dx),
+        ]:
+            if 0 <= yy < h and 0 <= xx < w:
+                val += wgt * img[yy, xx]
+        return val
+
+    for bi in range(b):
+        for yo in range(ho):
+            for xo in range(wo):
+                cols = np.zeros((k, cin))
+                for ki in range(kh):
+                    for kj in range(kw):
+                        t = ki * kw + kj
+                        py = yo * stride - padding + ki * dilation + \
+                            offset[bi, yo, xo, 2 * t]
+                        px = xo * stride - padding + kj * dilation + \
+                            offset[bi, yo, xo, 2 * t + 1]
+                        cols[t] = sample(x[bi], py, px) * mask[bi, yo, xo, t]
+                out[bi, yo, xo] = (
+                    cols.reshape(-1) @ weight.reshape(-1, cout) + bias
+                )
+    return out
+
+
+@pytest.fixture
+def small_inputs(rng):
+    b, h, w, cin, cout = 2, 6, 7, 3, 4
+    x = rng.randn(b, h, w, cin).astype(np.float32)
+    offset = (rng.randn(b, h, w, 18) * 1.5).astype(np.float32)
+    mask = rng.rand(b, h, w, 9).astype(np.float32)
+    weight = rng.randn(3, 3, cin, cout).astype(np.float32) * 0.1
+    bias = rng.randn(cout).astype(np.float32)
+    return x, offset, mask, weight, bias
+
+
+def test_matches_numpy_golden(small_inputs):
+    x, offset, mask, weight, bias = small_inputs
+    got = np.asarray(
+        dcn_v2(jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+               jnp.asarray(weight), jnp.asarray(bias))
+    )
+    want = np_dcn_v2(x, offset, mask, weight, bias)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_zero_offset_equals_regular_conv(rng):
+    """With zero offsets and mask=1, DCN == standard conv (the reference's
+    zero-offset identity property, testcuda.py:32-67)."""
+    b, h, w, cin, cout = 2, 8, 8, 4, 5
+    x = rng.randn(b, h, w, cin).astype(np.float32)
+    weight = rng.randn(3, 3, cin, cout).astype(np.float32) * 0.2
+    offset = np.zeros((b, h, w, 18), np.float32)
+    mask = np.ones((b, h, w, 9), np.float32)
+
+    got = np.asarray(
+        dcn_v2(jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+               jnp.asarray(weight), None)
+    )
+    want = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(weight),
+        window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_stride_two(rng):
+    b, h, w, cin, cout = 1, 8, 8, 2, 3
+    x = rng.randn(b, h, w, cin).astype(np.float32)
+    offset = (rng.randn(b, 4, 4, 18) * 0.7).astype(np.float32)
+    mask = rng.rand(b, 4, 4, 9).astype(np.float32)
+    weight = rng.randn(3, 3, cin, cout).astype(np.float32) * 0.2
+    bias = np.zeros(cout, np.float32)
+    got = np.asarray(
+        dcn_v2(jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+               jnp.asarray(weight), jnp.asarray(bias), stride=2)
+    )
+    want = np_dcn_v2(x, offset, mask, weight, bias, stride=2)
+    assert got.shape == (1, 4, 4, 3)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_gradcheck(small_inputs):
+    """check_grads on all differentiable inputs — the jax twin of
+    torch.autograd.gradcheck (testcuda.py:69-97)."""
+    x, offset, mask, weight, bias = small_inputs
+    # shrink for the O(eps) finite-difference check
+    from jax import enable_x64
+    from jax.test_util import check_grads
+
+    x, offset, mask = x[:1, :4, :4], offset[:1, :4, :4], mask[:1, :4, :4]
+
+    def f(x_, o_, m_, w_, b_):
+        return dcn_v2(x_, o_, m_, w_, b_).sum()
+
+    with enable_x64():
+        args = (jnp.asarray(x, jnp.float64),
+                jnp.asarray(offset, jnp.float64) * 0.3,
+                jnp.asarray(mask, jnp.float64),
+                jnp.asarray(weight, jnp.float64),
+                jnp.asarray(bias, jnp.float64))
+        check_grads(f, args, order=1, modes=["rev"], atol=1e-3, rtol=1e-3)
+
+
+def test_dcn_module_init_and_forward(rng):
+    """DCN module: zero-init offset head => first forward == plain conv with
+    sigmoid(0)=0.5 mask (testcuda.py zero-offset convention)."""
+    x = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+    module = DCN(features=6)
+    variables = module.init(jax.random.PRNGKey(0), x)
+
+    # conv_offset_mask is zero-initialized (dcn_v2.py:119-121)
+    com = variables["params"]["conv_offset_mask"]
+    assert np.all(np.asarray(com["kernel"]) == 0)
+    assert np.all(np.asarray(com["bias"]) == 0)
+
+    out = module.apply(variables, x)
+    want = 0.5 * jax.lax.conv_general_dilated(
+        x, variables["params"]["weight"],
+        window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + variables["params"]["bias"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dcn_module_jit_and_grad(rng):
+    x = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    module = DCN(features=6)
+    variables = module.init(jax.random.PRNGKey(1), x)
+
+    @jax.jit
+    def loss(params, x_):
+        return module.apply({"params": params}, x_).sum()
+
+    grads = jax.grad(loss)(variables["params"], x)
+    flat = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # weight grad must be nonzero
+    assert float(jnp.abs(grads["weight"]).sum()) > 0

@@ -1,0 +1,98 @@
+"""DLA-34 backend tests: structure, shapes, upsample parity with torch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from centernet_uda_tpu import models
+from centernet_uda_tpu.models.dla import DepthwiseUp, DLATrunk
+
+
+def test_trunk_level_shapes():
+    trunk = DLATrunk()
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = trunk.init(jax.random.PRNGKey(0), x)
+    feats = trunk.apply(variables, x)
+    assert len(feats) == 6
+    shapes = [f.shape for f in feats]
+    assert shapes == [
+        (1, 64, 64, 16), (1, 32, 32, 32), (1, 16, 16, 64),
+        (1, 8, 8, 128), (1, 4, 4, 256), (1, 2, 2, 512),
+    ]
+
+
+def test_dlaseg_head_contract():
+    backend = models.build("dla", num_classes=4)
+    assert backend.down_ratio == 4
+    variables = backend.init(jax.random.PRNGKey(0), (64, 64))
+    out = backend.module.apply(variables, jnp.zeros((1, 64, 64, 3)),
+                               train=False)
+    assert set(out) == {"hm", "wh", "reg"}
+    assert out["hm"].shape == (1, 16, 16, 4)
+    assert out["wh"].shape == (1, 16, 16, 2)
+    assert out["reg"].shape == (1, 16, 16, 2)
+
+
+def test_hm_bias_init():
+    backend = models.build("dla", num_classes=2)
+    variables = backend.init(jax.random.PRNGKey(0), (64, 64))
+    hm_bias = np.asarray(variables["params"]["hm_out"]["bias"])
+    np.testing.assert_allclose(hm_bias, -2.19)
+    wh_bias = np.asarray(variables["params"]["wh_out"]["bias"])
+    np.testing.assert_allclose(wh_bias, 0.0)
+
+
+@pytest.mark.parametrize("factor", [2, 4])
+def test_depthwise_up_matches_torch(factor, rng):
+    """Our lhs-dilated depthwise conv == torch ConvTranspose2d(groups=o)."""
+    torch = pytest.importorskip("torch")
+
+    o, hw = 3, 5
+    x = rng.randn(1, hw, hw, o).astype(np.float32)
+    module = DepthwiseUp(channels=o, factor=factor)
+    variables = module.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # randomize weights so the test is not bilinear-symmetric by accident
+    w = rng.randn(*variables["params"]["kernel"].shape).astype(np.float32)
+    out = module.apply({"params": {"kernel": jnp.asarray(w)}}, jnp.asarray(x))
+
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    # our HWIO (k,k,1,o) -> torch convT (in=o, out/groups=1, k, k)
+    wt = torch.from_numpy(w.transpose(3, 2, 0, 1))
+    want = torch.nn.functional.conv_transpose2d(
+        xt, wt, stride=factor, padding=factor // 2, groups=o
+    ).numpy().transpose(0, 2, 3, 1)
+
+    assert out.shape == want.shape == (1, hw * factor, hw * factor, o)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
+
+
+def test_bilinear_init_upsamples_smoothly():
+    """With the fill_up_weights init, a constant map stays (nearly) constant
+    away from borders."""
+    module = DepthwiseUp(channels=1, factor=2)
+    x = jnp.ones((1, 6, 6, 1))
+    variables = module.init(jax.random.PRNGKey(0), x)
+    out = np.asarray(module.apply(variables, x))
+    inner = out[0, 2:-2, 2:-2, 0]
+    np.testing.assert_allclose(inner, 1.0, atol=1e-5)
+
+
+def test_dla_train_step_grads():
+    backend = models.build("dla", num_classes=2)
+    variables = backend.init(jax.random.PRNGKey(0), (64, 64))
+
+    def loss_fn(params):
+        out, _ = backend.module.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            jnp.ones((1, 64, 64, 3)), train=True, mutable=["batch_stats"],
+        )
+        return sum(jnp.sum(v) for v in out.values())
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # deformable offsets start at zero but must receive gradient flow through
+    # the DCN weight path
+    total = sum(float(jnp.abs(g).sum()) for g in leaves)
+    assert total > 0

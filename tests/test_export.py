@@ -1,0 +1,60 @@
+"""Export path tests: StableHLO round trip of the serving function."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from centernet_uda_tpu import models
+from centernet_uda_tpu.export import export_stablehlo, make_serving_fn
+from centernet_uda_tpu.uda.state import TrainState
+
+
+@pytest.fixture(scope="module")
+def backend_state():
+    backend = models.build("resnet", num_layers=18, num_classes=3,
+                           pretrained=False)
+    variables = backend.init(jax.random.PRNGKey(0), (64, 64))
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=None,
+    )
+    return backend, state
+
+
+def test_serving_fn_outputs(backend_state):
+    backend, state = backend_state
+    serve = make_serving_fn(backend, state, (64, 64), max_detections=10)
+    boxes, scores, classes = serve(jnp.zeros((1, 64, 64, 3)))
+    assert boxes.shape == (1, 10, 4)
+    assert scores.shape == (1, 10)
+    assert classes.shape == (1, 10)
+    # boxes are scaled back to input resolution (x down_ratio)
+    assert np.asarray(scores).max() <= 1.0
+
+
+def test_serving_fn_raw_heads(backend_state):
+    backend, state = backend_state
+    serve = make_serving_fn(backend, state, (64, 64), with_decode=False)
+    out = serve(jnp.zeros((1, 64, 64, 3)))
+    assert set(out) == {"hm", "wh", "reg"}
+
+
+def test_stablehlo_roundtrip(tmp_path, backend_state):
+    backend, state = backend_state
+    serve = make_serving_fn(backend, state, (64, 64), max_detections=5)
+    path = export_stablehlo(serve, (1, 64, 64, 3), tmp_path / "model")
+    assert path.exists() and path.stat().st_size > 0
+
+    # deserialize and run
+    from jax import export as jax_export
+
+    restored = jax_export.deserialize(path.read_bytes())
+    x = np.random.RandomState(0).randn(1, 64, 64, 3).astype(np.float32)
+    want = serve(jnp.asarray(x))
+    got = restored.call(jnp.asarray(x))
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

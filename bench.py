@@ -32,6 +32,10 @@ def main():
     import __graft_entry__ as ge
     import jax.numpy as jnp
 
+    from centernet_uda_tpu.ops import dcn as dcn_ops
+
+    dcn_ops.set_pallas_default(os.environ.get("BENCH_DCN", "auto"))
+
     # bfloat16 compute is the TPU-native default (MXU-native, halves HBM);
     # params and losses stay float32
     dtype = (jnp.float32 if os.environ.get("BENCH_DTYPE") == "float32"
@@ -104,6 +108,24 @@ def main():
     infer_dt = time.perf_counter() - t0
     infer_ips = batch_size * steps / infer_dt
 
+    # --- decode p50 latency (the fused XLA decode alone) -----------------
+    hm_only = jax.jit(lambda hm, wh, reg: decode_detections(
+        hm, wh, reg, k=100, apply_sigmoid=True))
+    out_hw = input_size // 4
+    hm = jnp.zeros((batch_size, out_hw, out_hw, 6), jnp.float32)
+    whx = jnp.ones((batch_size, out_hw, out_hw, 2), jnp.float32)
+    regx = jnp.zeros((batch_size, out_hw, out_hw, 2), jnp.float32)
+    d = hm_only(hm, whx, regx)
+    sync(d)
+    # pipelined mean (per-call sync through the axon tunnel would measure
+    # the tunnel's ~0.6 ms dispatch latency, not the decode)
+    n_dec = max(steps * 5, 50)
+    t0 = time.perf_counter()
+    for _ in range(n_dec):
+        d = hm_only(hm, whx, regx)
+    sync(d)
+    decode_p50_ms = (time.perf_counter() - t0) / n_dec * 1e3
+
     # combined train+infer images/sec/chip (harmonic-style: one train step
     # plus one inference pass per image)
     combined = 1.0 / (1.0 / train_ips + 1.0 / infer_ips)
@@ -117,6 +139,7 @@ def main():
         "detail": {
             "train_images_per_sec": round(train_ips, 2),
             "infer_images_per_sec": round(infer_ips, 2),
+            "decode_p50_ms_batch": round(decode_p50_ms, 3),
             "batch_size": batch_size,
             "devices": n_chips,
             "platform": jax.devices()[0].platform,

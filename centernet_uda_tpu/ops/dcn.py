@@ -41,6 +41,108 @@ def _pair(v) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else (int(v[0]), int(v[1]))
 
 
+PALLAS_MAX_SHIFT = 14
+
+# process-wide default implementation for DCN modules built without an
+# explicit ``use_pallas`` (config key ``dcn_impl``: xla | pallas | auto).
+_PALLAS_DEFAULT = False
+
+
+def set_pallas_default(value) -> None:
+    """Select the default DCN implementation at trace time.
+
+    value: True/False, or a string — "pallas", "xla", or "auto"
+    (= Pallas on TPU backends, XLA elsewhere).
+    """
+    global _PALLAS_DEFAULT
+    if isinstance(value, str):
+        value = value.lower()
+        if value == "auto":
+            value = jax.default_backend() == "tpu"
+        elif value == "pallas":
+            value = True
+        elif value == "xla":
+            value = False
+        else:
+            raise ValueError(
+                f"dcn_impl must be 'auto', 'pallas' or 'xla', got {value!r}"
+            )
+    _PALLAS_DEFAULT = bool(value)
+
+
+def get_pallas_default() -> bool:
+    return _PALLAS_DEFAULT
+
+
+def _pallas_supported(x, weight, stride, padding, dilation) -> bool:
+    """The Pallas kernel covers the config every backend uses: 3x3 / s1 /
+    p1 / d1 with W in [32, 128] (lane extent; below 32 the XLA path is
+    already cheap)."""
+    kh, kw = weight.shape[:2]
+    w = x.shape[2]
+    return (
+        (kh, kw) == (3, 3)
+        and _pair(stride) == (1, 1)
+        and _pair(padding) == (1, 1)
+        and _pair(dilation) == (1, 1)
+        # below W=64 the 128-lane padding wastes >=2x and the XLA path is
+        # already cheap at those small maps
+        and 64 <= w <= 128
+    )
+
+
+@jax.custom_vjp
+def _dcn_pallas_op(x, offset, mask, weight, bias):
+    from centernet_uda_tpu.ops.dcn_pallas import dcn_v2_pallas
+
+    return dcn_v2_pallas(x, offset, mask, weight, bias,
+                         max_shift=PALLAS_MAX_SHIFT)
+
+
+def _dcn_pallas_fwd(x, offset, mask, weight, bias):
+    return _dcn_pallas_op(x, offset, mask, weight, bias), (
+        x, offset, mask, weight, bias,
+    )
+
+
+def _dcn_pallas_bwd(res, g):
+    """Fused Pallas backward (ops/dcn_pallas.py: recomputed shift-and-select
+    sampling + one-hot MXU scatter for dx) with the same vertical-offset
+    clamp semantics as the forward."""
+    from centernet_uda_tpu.ops.dcn_pallas import dcn_v2_pallas_bwd
+
+    x, offset, mask, weight, bias = res
+    dx, doff, dmask, dweight, dbias = dcn_v2_pallas_bwd(
+        x, offset, mask, weight, g, max_shift=PALLAS_MAX_SHIFT
+    )
+    return (dx, doff.astype(offset.dtype), dmask.astype(mask.dtype),
+            dweight, None if bias is None else dbias.astype(bias.dtype))
+
+
+def _dcn_xla_clamped_bwd(res, g):
+    """Reference backward: jax.vjp through the XLA formulation with the
+    Pallas clamp applied (used for verification of the fused kernel)."""
+    x, offset, mask, weight, bias = res
+
+    def ref(x, offset, mask, weight, bias):
+        k = mask.shape[-1]
+        off = offset.reshape(offset.shape[:-1] + (k, 2))
+        off_y = jnp.clip(off[..., 0], -PALLAS_MAX_SHIFT, PALLAS_MAX_SHIFT)
+        off = jnp.stack([off_y, off[..., 1]], axis=-1).reshape(offset.shape)
+        return dcn_v2(x, off, mask, weight, bias)
+
+    _, vjp = jax.vjp(ref, x, offset, mask, weight,
+                     bias if bias is not None else jnp.zeros(
+                         (weight.shape[-1],), jnp.float32))
+    grads = vjp(g)
+    if bias is None:
+        grads = grads[:4] + (None,)
+    return grads
+
+
+_dcn_pallas_op.defvjp(_dcn_pallas_fwd, _dcn_pallas_bwd)
+
+
 def dcn_v2(
     x: jax.Array,
     offset: jax.Array,
@@ -57,7 +159,14 @@ def dcn_v2(
     x (B,H,W,Cin); offset (B,Ho,Wo,2K) interleaved (dy,dx) per tap;
     mask (B,Ho,Wo,K) in [0,1]; weight (kh,kw,Cin,Cout) HWIO.
     Returns (B,Ho,Wo,Cout) float32.
+
+    With ``use_pallas`` (and a supported configuration) the forward runs the
+    fused Pallas kernel (ops/dcn_pallas.py); gradients flow through the XLA
+    formulation with matching offset-clamp semantics.
     """
+    if use_pallas and _pallas_supported(x, weight, stride, padding, dilation):
+        return _dcn_pallas_op(x, offset, mask, weight, bias)
+
     kh, kw, cin, cout = weight.shape
     k = kh * kw
     sh, sw = _pair(stride)
@@ -159,7 +268,7 @@ class DCN(nn.Module):
     padding: int = 1
     dilation: int = 1
     deformable_groups: int = 1
-    use_pallas: bool = False
+    use_pallas: Any = None  # None = process default (set_pallas_default)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -198,15 +307,23 @@ class DCN(nn.Module):
         # 512px and the CUDA reference likewise recomputes im2col in its
         # backward (src/cuda/dcn_v2_cuda.cu:316-320). Trades cheap VPU gather
         # FLOPs for HBM.
-        op = jax.checkpoint(
-            partial(
-                dcn_v2,
-                stride=self.stride,
-                padding=self.padding,
-                dilation=self.dilation,
-                use_pallas=self.use_pallas,
-            )
+        use_pallas = (self.use_pallas if self.use_pallas is not None
+                      else _PALLAS_DEFAULT)
+        op = partial(
+            dcn_v2,
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+            use_pallas=use_pallas,
         )
+        if not (use_pallas
+                and _pallas_supported(x, jnp.zeros((kh, kw, cin, self.features)),
+                                      self.stride, self.padding, self.dilation)):
+            # XLA path: rematerialize the 0.5 GB/layer column tensor in the
+            # backward instead of storing it (the CUDA reference likewise
+            # recomputes im2col, src/cuda/dcn_v2_cuda.cu:316-320). The Pallas
+            # path needs no remat: its custom_vjp saves only the inputs.
+            op = jax.checkpoint(op)
         return op(
             x.astype(self.dtype),
             offset.astype(jnp.float32),

@@ -83,6 +83,10 @@ def build_trainer(cfg):
         import jax.numpy as jnp
 
         backend_params.setdefault("dtype", jnp.bfloat16)
+
+    from centernet_uda_tpu.ops import dcn as dcn_ops
+
+    dcn_ops.set_pallas_default(cfg.get("dcn_impl", "auto"))
     backend = model_registry.build(cfg.model.backend.name, **backend_params)
 
     uda_cfg = cfg.model.get("uda")

@@ -53,6 +53,7 @@ class Dataset:
         max_detections: int = 150,
         down_ratio: int = 4,
         seed: Optional[int] = None,
+        use_native_encoder: bool = True,
     ):
         self.image_folder = Path(image_folder)
         self.coco = COCO(annotation_file)
@@ -68,6 +69,7 @@ class Dataset:
         self.augment_target_domain = bool(augment_target_domain)
         self.string_id_mapping: Dict[str, int] = {}
         self.rng = np.random.RandomState(seed)
+        self.use_native_encoder = bool(use_native_encoder)
 
         # contiguous category remap, 1..num_classes -> 0..num_classes-1
         # (datasets/coco.py:45-48)
@@ -108,6 +110,12 @@ class Dataset:
 
     # ------------------------------------------------------------------
     def _normalize(self, img: np.ndarray) -> np.ndarray:
+        if self.use_native_encoder and img.dtype == np.uint8:
+            from centernet_uda_tpu import native
+
+            out = native.normalize_image(img, self.mean, self.std)
+            if out is not None:
+                return out
         img = img.astype(np.float32) / 255.0
         return (img - self.mean) / self.std
 
@@ -216,8 +224,6 @@ class Dataset:
 
         inp = self._normalize(img)
 
-        t, output_h, output_w = self._alloc_targets(wh_dim=2, gt_dim=6)
-
         if len(boxes):
             scale = 1.0 / self.down_ratio
             boxes_out = boxes * scale
@@ -225,6 +231,32 @@ class Dataset:
         else:
             boxes_out = boxes
             kp_out = kp_flat
+
+        # hot path: C++ encoder (gaussian splat + target fills) when there
+        # are no keypoints to attach; identical math to the loop below
+        if self.use_native_encoder and self.num_keypoints == 0:
+            from centernet_uda_tpu import native
+
+            if native.available():
+                classes = np.array(
+                    [self.cat_mapping[anns[k]["category_id"]]
+                     for k in range(num_objs)],
+                    np.int32,
+                )
+                areas = np.array(
+                    [anns[k].get("area", -1.0) for k in range(num_objs)],
+                    np.float32,
+                )
+                t = native.encode_targets(
+                    boxes_out[:num_objs].reshape(-1, 4), classes, areas,
+                    self.input_size[1] // self.down_ratio,
+                    self.input_size[0] // self.down_ratio,
+                    self.num_classes, self.max_detections,
+                )
+                t["input"] = inp
+                return t
+
+        t, output_h, output_w = self._alloc_targets(wh_dim=2, gt_dim=6)
 
         for k in range(num_objs):
             ann = anns[k]

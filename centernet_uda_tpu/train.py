@@ -146,15 +146,32 @@ def _should_auto_mesh(batch_size: int) -> bool:
 
 
 def _run_phase(trainer, loader, evaluators, tb_logger, stats, epoch, tag,
-               is_training):
+               is_training, profile_steps=0):
     trainer.set_phase(is_training)
     n_batches = 0
     t0 = time.time()
     n_images = 0
+    profiling = False
     for data in loader:
+        # jax.profiler trace of the first N train steps of the first epoch
+        # (SURVEY §5: the reference has no tracing at all)
+        if profile_steps and is_training and epoch == 1 and n_batches == 0:
+            import jax
+
+            jax.profiler.start_trace("profile")
+            profiling = True
         outputs = trainer.step(data, is_training=is_training)
         n_batches += 1
         n_images += len(data["input"])
+        if profiling and n_batches >= profile_steps:
+            import jax
+
+            jax.tree.map(lambda v: v.block_until_ready(),
+                         outputs["stats"])
+            jax.profiler.stop_trace()
+            profiling = False
+            log.info("wrote profiler trace for %d steps to profile/",
+                     profile_steps)
 
         for k, v in outputs["stats"].items():
             log_key = f"{tag}/{k}"
@@ -171,6 +188,11 @@ def _run_phase(trainer, loader, evaluators, tb_logger, stats, epoch, tag,
                 ev.add_batch(**detections)
             if tb_logger is not None:
                 tb_logger.log_detections(data, detections, epoch, tag=tag)
+
+    if profiling:
+        import jax
+
+        jax.profiler.stop_trace()
 
     dt = time.time() - t0
     if n_batches:
@@ -238,6 +260,7 @@ def main(argv=None) -> dict:
             stats = _run_phase(
                 trainer, train_loader, evaluators, None, stats, epoch,
                 "training", True,
+                profile_steps=int(cfg.get("profile_steps", 0) or 0),
             )
             log.info(
                 "epoch %d training done (loss %.4f, %.1f img/s)",

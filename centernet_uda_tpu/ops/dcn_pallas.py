@@ -367,15 +367,17 @@ def _dcn_bwd_dx_kernel(off_ref, mask_ref, w_ref, g_ref, dx_ref, *,
     MXU. No feature values are needed, so this kernel does no gathers.
 
     Layouts: off (1, 18, H+2P, W), mask (1, 9, H+2P, W) zero-padded;
-    g (1, H+2P, W, Cout) bf16 zero-padded; dx_ref (1, R, Cin, W) f32.
+    g (1, H+2P, W, Cout) bf16 zero-padded; dx_ref (1, R, W, Cin) f32
+    (native NHWC, no transposes anywhere in this kernel).
     """
     r_blk = row_block
     r0 = pl.program_id(1) * r_blk
-    pos = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w, w), 2)
+    # pos index on dim 1: p^T[r, pos, j] = (x_idx[r, j] == pos)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w, w), 1)
     jgrid = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 1)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 0)
 
-    dx_acc = jnp.zeros((r_blk, cin, w), jnp.float32)
+    dx_acc = jnp.zeros((r_blk, w, cin), jnp.float32)
     h2p = h + 2 * pad_rows
     rgrid_all = jax.lax.broadcasted_iota(jnp.int32, (h2p, w), 0) - pad_rows
 
@@ -428,27 +430,32 @@ def _dcn_bwd_dx_kernel(off_ref, mask_ref, w_ref, g_ref, dx_ref, *,
                 w10 = val10 * fy * (1 - fx) * m
                 w11 = val11 * fy * fx * m
 
-                g_s = g_ref[0, pl.ds(src_row, r_blk)].astype(jnp.float32)
+                g_s = g_ref[0, pl.ds(src_row, r_blk)]
                 gcol = jax.lax.dot_general(
-                    g_s, w_ref[t], (((2,), (1,)), ((), ())),
+                    g_s, w_ref[t].astype(jnp.bfloat16),
+                    (((2,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # (R, W, Cin)
-                gcol = jnp.swapaxes(gcol, 1, 2)  # (R, Cin, W)
+                )  # (R, W_j, Cin)
 
                 a_w = sel0 * w00 + sel1 * w10
                 b_w = sel0 * w01 + sel1 * w11
-                t0 = gcol * a_w[:, None, :]
-                t1 = gcol * b_w[:, None, :]
+                t0 = gcol * a_w[:, :, None]
+                t1 = gcol * b_w[:, :, None]
 
                 x0c = jnp.clip(x0, 0, w - 1)
                 x1c = jnp.clip(x0 + 1, 0, w - 1)
-                p0 = (x0c[:, :, None] == pos).astype(jnp.float32)
-                p1 = (x1c[:, :, None] == pos).astype(jnp.float32)
+                # transposed one-hot (R, Wpos, Wj) so the scatter matmul is
+                # the canonical (M, K) x (K, N) orientation on the MXU
+                p0t = (x0c[:, None, :] == pos).astype(jnp.bfloat16)
+                p1t = (x1c[:, None, :] == pos).astype(jnp.bfloat16)
+                # dx[r, pos, c] += sum_j P^T[r, pos, j] * t[r, j, c]
                 return acc + jax.lax.dot_general(
-                    t0, p0, (((2,), (1,)), ((0,), (0,))),
+                    p0t, t0.astype(jnp.bfloat16),
+                    (((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                 ) + jax.lax.dot_general(
-                    t1, p1, (((2,), (1,)), ((0,), (0,))),
+                    p1t, t1.astype(jnp.bfloat16),
+                    (((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                 )
 
@@ -555,13 +562,17 @@ def dcn_v2_pallas_bwd(
             pl.BlockSpec((1, h + 2 * pad_rows, w, cout),
                          lambda i, r: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, r_blk, cin, w), lambda i, r: (i, r, 0, 0),
+        out_specs=pl.BlockSpec((1, r_blk, w, cin), lambda i, r: (i, r, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, cin, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cin), jnp.float32),
+        # whole-image off/mask/g refs are double-buffered across the grid;
+        # allow the compiler past the default 16M scoped budget
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(off_pad, mask_pad, w_taps, g_pad)
 
-    dx = dx_t.transpose(0, 1, 3, 2).astype(x.dtype)
+    dx = dx_t.astype(x.dtype)
     doff = doff_t.transpose(0, 2, 3, 1)
     dmask = dmask_t.transpose(0, 2, 3, 1)
     dweight = dw_b.sum(axis=0).reshape(3, 3, cin, cout).astype(weight.dtype)

@@ -38,12 +38,15 @@ def test_sharded_matches_single_device():
         pytest.skip("needs multiple devices")
     batch_size = 2 * n
 
-    t1 = ge._build_trainer(batch_size=batch_size, input_size=64)
+    params = dict(backend_name="resnet",
+                  backend_params={"num_layers": 18, "num_classes": 6,
+                                  "pretrained": False})
+    t1 = ge._build_trainer(batch_size=batch_size, input_size=64, **params)
     t1.init_done()
     batch = ge._tiny_batch(batch_size, 64)
     out1 = t1.step(batch, is_training=True)
 
-    t2 = ge._build_trainer(batch_size=batch_size, input_size=64)
+    t2 = ge._build_trainer(batch_size=batch_size, input_size=64, **params)
     t2.mesh = MeshContext.create()
     t2.init_done()
     out2 = t2.step(batch, is_training=True)

@@ -1,0 +1,108 @@
+"""End-to-end variant configs through main(): rotated boxes and UDA.
+
+Exercises the full CLI paths the e2e baseline test doesn't cover: the
+rotated-box pipeline (periodic loss + rotated decode + polygon-IoU eval)
+and a UDA strategy with a target domain glob.
+"""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from tests.util_fixtures import make_tiny_coco
+
+
+def _setup(root: Path, rotated: bool):
+    img_dir, anno = make_tiny_coco(
+        root / "data", num_images=4, size=(64, 64), num_classes=2,
+        rotated=rotated, seed=5,
+    )
+    cfg_dir = root / "configs"
+    (cfg_dir / "experiment").mkdir(parents=True, exist_ok=True)
+    with open("configs/defaults.yaml") as f:
+        defaults = yaml.safe_load(f)
+    with open(cfg_dir / "defaults.yaml", "w") as f:
+        yaml.safe_dump(defaults, f)
+    return img_dir, anno, cfg_dir
+
+
+def _dataset_overrides(img_dir, anno, extra=None):
+    ov = [
+        f"datasets.training.params.image_folder={img_dir}",
+        f"datasets.training.params.annotation_file={anno}",
+        "datasets.training.params.input_size=[64,64]",
+        "datasets.training.params.augmentation=null",
+        f"datasets.validation.params.image_folder={img_dir}",
+        f"datasets.validation.params.annotation_file={anno}",
+        "datasets.validation.params.input_size=[64,64]",
+        "epochs=1", "batch_size=2", "num_workers=0", "max_detections=8",
+    ]
+    return ov + (extra or [])
+
+
+def _run(root, cfg_dir, argv):
+    from centernet_uda_tpu import train as train_app
+
+    cwd = os.getcwd()
+    os.chdir(root)
+    try:
+        return train_app.main(argv)
+    finally:
+        os.chdir(cwd)
+
+
+def test_rotated_training_e2e(tmp_path):
+    img_dir, anno, cfg_dir = _setup(tmp_path, rotated=True)
+    exp = {
+        "experiment": "rotated_tiny",
+        "model": {
+            "backend": {
+                "name": "resnet",
+                "params": {"num_layers": 18, "num_classes": 2,
+                           "rotated_boxes": True, "pretrained": False},
+                "loss": {"params": {"periodic": True}},
+            },
+            "uda": None,
+        },
+    }
+    with open(cfg_dir / "experiment" / "rotated_tiny.yaml", "w") as f:
+        yaml.safe_dump(exp, f)
+
+    scalars = _run(tmp_path, cfg_dir, ["experiment=rotated_tiny"]
+                   + _dataset_overrides(img_dir, anno))
+    assert np.isfinite(scalars["training/total_loss"])
+    # rotated eval path (polygon IoU) produced COCO keys
+    assert "MSCOCO_Precision/mAP" in scalars
+
+
+def test_entropy_uda_e2e(tmp_path):
+    img_dir, anno, cfg_dir = _setup(tmp_path, rotated=False)
+    exp = {
+        "experiment": "uda_tiny",
+        "model": {
+            "backend": {
+                "name": "resnet",
+                "params": {"num_layers": 18, "num_classes": 2,
+                           "pretrained": False},
+            },
+            "uda": {"EntropyMinimization": {"entropy_weight": 0.001}},
+        },
+        # UDA strategies forward the target domain in every phase, so the
+        # validation set needs a glob too (as in the reference defaults.yaml)
+        "datasets": {
+            "training": {"params": {
+                "target_domain_glob": str(img_dir / "*.png")}},
+            "validation": {"params": {
+                "target_domain_glob": str(img_dir / "*.png")}},
+        },
+    }
+    with open(cfg_dir / "experiment" / "uda_tiny.yaml", "w") as f:
+        yaml.safe_dump(exp, f)
+
+    scalars = _run(tmp_path, cfg_dir, ["experiment=uda_tiny"]
+                   + _dataset_overrides(img_dir, anno))
+    assert np.isfinite(scalars["training/total_loss"])
+    assert "training/entropy_loss" in scalars

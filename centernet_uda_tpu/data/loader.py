@@ -41,25 +41,41 @@ class DataLoader:
         drop_last: bool = False,
         prefetch: int = 2,
         seed: int = 0,
+        shard_id: int = 0,
+        num_shards: int = 1,
     ):
+        """``batch_size`` is the PER-HOST batch. For multi-host training pass
+        ``shard_id=jax.process_index()`` / ``num_shards=jax.process_count()``:
+        every host then iterates a disjoint, same-length slice of each
+        (identically shuffled) epoch permutation."""
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = bool(shuffle)
         self.num_workers = int(num_workers)
-        self.drop_last = bool(drop_last)
+        self.drop_last = bool(drop_last) or num_shards > 1
         self.prefetch = max(int(prefetch), 1)
         self.rng = np.random.RandomState(seed)
+        self.shard_id = int(shard_id)
+        self.num_shards = int(num_shards)
+
+    def _shard_indices(self):
+        indices = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(indices)
+        if self.num_shards > 1:
+            per_shard = len(indices) // self.num_shards
+            indices = indices[self.shard_id * per_shard:
+                              (self.shard_id + 1) * per_shard]
+        return indices
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_shards
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def _index_batches(self):
-        indices = np.arange(len(self.dataset))
-        if self.shuffle:
-            self.rng.shuffle(indices)
+        indices = self._shard_indices()
         if self.drop_last:
             usable = (len(indices) // self.batch_size) * self.batch_size
             indices = indices[:usable]

@@ -53,7 +53,19 @@ class MeshContext:
         return NamedSharding(self.mesh, P())
 
     def shard_batch(self, batch: Any) -> Any:
-        """Place a host batch sharded over the data axis (leading dim)."""
+        """Place a host batch sharded over the data axis (leading dim).
+
+        Multi-host: each process feeds its local slice of the global batch
+        (the loader shards sample indices by ``jax.process_index()``);
+        ``make_array_from_process_local_data`` assembles the global array.
+        """
+        if jax.process_count() > 1:
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    self.batch_sharding, np.asarray(x)
+                ),
+                batch,
+            )
         return jax.device_put(batch, self.batch_sharding)
 
     def replicate(self, tree: Any) -> Any:

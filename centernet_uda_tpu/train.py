@@ -49,6 +49,8 @@ def load_datasets(cfg, down_ratio: int, rotated_boxes: bool):
         "std": list(cfg.normalize.std),
     }
 
+    import jax
+
     def build_loader(section, shuffle, drop_last):
         params = {**section.params.to_dict(), **defaults}
         dataset = data_registry.build(section.name, **params)
@@ -59,6 +61,10 @@ def load_datasets(cfg, down_ratio: int, rotated_boxes: bool):
             num_workers=int(cfg.get("num_workers", 0)),
             drop_last=drop_last,
             seed=int(cfg.get("seed", 42)),
+            # multi-host: every process loads a disjoint shard
+            # (the reference's DataLoader is single-host only)
+            shard_id=jax.process_index(),
+            num_shards=jax.process_count(),
         )
         return dataset, loader
 
@@ -217,6 +223,15 @@ def main(argv=None) -> dict:
         level=logging.INFO,
         format="[%(asctime)s][%(name)s][%(levelname)s] - %(message)s",
     )
+
+    # multi-host pods: bring up the jax distributed runtime before any
+    # device access (pjit then spans all hosts; collectives ride ICI/DCN)
+    if cfg.get("distributed") or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        import jax
+
+        jax.distributed.initialize()
+        log.info("jax.distributed initialized: process %d/%d",
+                 jax.process_index(), jax.process_count())
 
     np.random.seed(int(cfg.get("seed", 42)))
 

@@ -133,3 +133,20 @@ def test_loader_drop_last(tiny_coco):
     batches = list(loader)
     assert len(batches) == 1
     assert batches[0]["input"].shape[0] == 3
+
+
+def test_loader_multihost_sharding(tiny_coco):
+    """Disjoint, equal-size shards with identical shuffles across hosts."""
+    ds = make_dataset(tiny_coco)
+    loaders = [
+        DataLoader(ds, batch_size=1, shuffle=True, seed=7,
+                   shard_id=i, num_shards=2)
+        for i in range(2)
+    ]
+    idx_sets = []
+    for loader in loaders:
+        ids = [int(b["id"][0]) for b in loader]
+        idx_sets.append(set(ids))
+        assert len(ids) == 2  # 4 samples / 2 shards
+    assert idx_sets[0].isdisjoint(idx_sets[1])
+    assert idx_sets[0] | idx_sets[1] == {1, 2, 3, 4}

@@ -91,11 +91,24 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that aborts when the consumer has gone away
+            (never blocks forever on a full queue)."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                     pending = []
                     for idx_batch in self._index_batches():
+                        if stop.is_set():
+                            return
                         futures = [
                             pool.submit(self.dataset.__getitem__, int(i))
                             for i in idx_batch
@@ -104,17 +117,19 @@ class DataLoader:
                         # keep at most `prefetch` batches in flight
                         while len(pending) > self.prefetch:
                             ready = pending.pop(0)
-                            if stop.is_set():
+                            if not put_or_stop(
+                                collate([f.result() for f in ready])
+                            ):
                                 return
-                            out_q.put(collate([f.result() for f in ready]))
                     for ready in pending:
-                        if stop.is_set():
+                        if not put_or_stop(
+                            collate([f.result() for f in ready])
+                        ):
                             return
-                        out_q.put(collate([f.result() for f in ready]))
             except Exception as exc:  # surface worker errors to the consumer
-                out_q.put(exc)
+                put_or_stop(exc)
             finally:
-                out_q.put(None)
+                put_or_stop(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -127,11 +142,11 @@ class DataLoader:
                     raise item
                 yield item
         finally:
-            stop.set()
-            # drain so the producer can exit
+            stop.set()  # unblocks any in-flight bounded put
             while thread.is_alive():
                 try:
                     out_q.get_nowait()
                 except queue.Empty:
-                    break
+                    pass
+                thread.join(timeout=0.05)
             thread.join(timeout=5.0)

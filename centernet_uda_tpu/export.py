@@ -77,17 +77,19 @@ def make_serving_fn(backend, state, input_size: Tuple[int, int],
             hm, outputs["wh"], outputs.get("reg"), kps=outputs.get("kps"),
             k=max_detections, rotated=rotated, nms_size=nms_size,
         )
+        def scale_boxes(dets):
+            boxes = dets[..., : 5 if rotated else 4]
+            if rotated:  # the angle column (deg) must not be scaled
+                boxes = boxes.at[..., :4].multiply(down_ratio)
+            else:
+                boxes = boxes * down_ratio
+            return boxes
+
         if isinstance(dets, tuple):
             dets, kps = dets
             kps = kps * down_ratio
-            boxes = dets[..., : 5 if rotated else 4] * down_ratio
-            return (boxes, dets[..., -2], dets[..., -1], kps)
-        boxes = dets[..., : 5 if rotated else 4]
-        if rotated:
-            boxes = boxes.at[..., :4].multiply(down_ratio)
-        else:
-            boxes = boxes * down_ratio
-        return (boxes, dets[..., -2], dets[..., -1])
+            return (scale_boxes(dets), dets[..., -2], dets[..., -1], kps)
+        return (scale_boxes(dets), dets[..., -2], dets[..., -1])
 
     return serve
 

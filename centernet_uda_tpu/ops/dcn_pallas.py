@@ -167,19 +167,29 @@ def dcn_v2_pallas(
     assert mask.shape == (b, h, w, 9)
 
     pad_rows = max_shift + 2
+    r_blk = _row_block(h, cin)
+    # pad H to a whole number of row blocks (e.g. the 100-row maps of 800px
+    # eval); padded rows have zero offsets/mask and are sliced away
+    h_pad = -(-h // r_blk) * r_blk
+    extra = h_pad - h
+
     # zero row padding covers every clamped shift; (H+2P, Cin, W) puts the
     # gatherable x-axis on lanes; bf16 staging halves VMEM
     xt = jnp.pad(
-        x.astype(jnp.bfloat16), ((0, 0), (pad_rows, pad_rows), (0, 0), (0, 0))
+        x.astype(jnp.bfloat16),
+        ((0, 0), (pad_rows, pad_rows + extra), (0, 0), (0, 0)),
     ).transpose(0, 1, 3, 2)
 
-    off_t = offset.astype(jnp.float32).transpose(0, 3, 1, 2)  # (B,18,H,W)
-    mask_t = mask.astype(jnp.float32).transpose(0, 3, 1, 2)  # (B,9,H,W)
+    off_t = jnp.pad(offset.astype(jnp.float32),
+                    ((0, 0), (0, extra), (0, 0), (0, 0))
+                    ).transpose(0, 3, 1, 2)  # (B,18,Hp,W)
+    mask_t = jnp.pad(mask.astype(jnp.float32),
+                     ((0, 0), (0, extra), (0, 0), (0, 0))
+                     ).transpose(0, 3, 1, 2)  # (B,9,Hp,W)
     w_taps = weight.reshape(9, cin, cout).astype(jnp.float32)
     bias_in = (bias if bias is not None
                else jnp.zeros((cout,), jnp.float32)).reshape(1, cout)
 
-    r_blk = _row_block(h, cin)
     kernel = functools.partial(
         _dcn_kernel, h=h, w=w, cin=cin, cout=cout, pad_rows=pad_rows,
         max_shift=max_shift, row_block=r_blk,
@@ -187,9 +197,9 @@ def dcn_v2_pallas(
 
     out = pl.pallas_call(
         kernel,
-        grid=(b, h // r_blk),
+        grid=(b, h_pad // r_blk),
         in_specs=[
-            pl.BlockSpec((1, h + 2 * pad_rows, cin, w),
+            pl.BlockSpec((1, h_pad + 2 * pad_rows, cin, w),
                          lambda i, r: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 18, r_blk, w), lambda i, r: (i, 0, r, 0),
                          memory_space=pltpu.VMEM),
@@ -202,10 +212,10 @@ def dcn_v2_pallas(
         ],
         out_specs=pl.BlockSpec((1, r_blk, w, cout), lambda i, r: (i, r, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h_pad, w, cout), jnp.float32),
         interpret=interpret,
     )(xt, off_t, mask_t, w_taps, bias_in)
-    return out
+    return out[:, :h]
 
 
 
@@ -355,8 +365,8 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
 
 
 def _dcn_bwd_dx_kernel(off_ref, mask_ref, w_ref, g_ref, dx_ref, *,
-                       h: int, w: int, cin: int, cout: int, pad_rows: int,
-                       max_shift: int, row_block: int):
+                       h: int, h_pad: int, w: int, cin: int, cout: int,
+                       pad_rows: int, max_shift: int, row_block: int):
     """Gradient w.r.t. the input feature map (destination-centric).
 
     Program (i, r) fully computes dx rows [r0, r0+R): for each shift ``d``
@@ -378,7 +388,7 @@ def _dcn_bwd_dx_kernel(off_ref, mask_ref, w_ref, g_ref, dx_ref, *,
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 0)
 
     dx_acc = jnp.zeros((r_blk, w, cin), jnp.float32)
-    h2p = h + 2 * pad_rows
+    h2p = h_pad + 2 * pad_rows
     rgrid_all = jax.lax.broadcasted_iota(jnp.int32, (h2p, w), 0) - pad_rows
 
     for t in range(9):
@@ -488,15 +498,25 @@ def dcn_v2_pallas_bwd(
     _, _, _, cout = weight.shape
     pad_rows = max_shift + 2
 
+    r_blk = _row_block(h, max(cin, cout) * 2)
+    # pad H to whole row blocks (padded rows: zero offsets/mask/cotangent ->
+    # zero contributions; outputs sliced back to h)
+    h_pad = -(-h // r_blk) * r_blk
+    extra = h_pad - h
+
     xt = jnp.pad(
-        x.astype(jnp.bfloat16), ((0, 0), (pad_rows, pad_rows), (0, 0), (0, 0))
+        x.astype(jnp.bfloat16),
+        ((0, 0), (pad_rows, pad_rows + extra), (0, 0), (0, 0)),
     ).transpose(0, 1, 3, 2)
-    off_t = offset.astype(jnp.float32).transpose(0, 3, 1, 2)
-    mask_t = mask.astype(jnp.float32).transpose(0, 3, 1, 2)
+    off_t = jnp.pad(offset.astype(jnp.float32),
+                    ((0, 0), (0, extra), (0, 0), (0, 0))
+                    ).transpose(0, 3, 1, 2)
+    mask_t = jnp.pad(mask.astype(jnp.float32),
+                     ((0, 0), (0, extra), (0, 0), (0, 0))
+                     ).transpose(0, 3, 1, 2)
     w_taps = weight.reshape(9, cin, cout).astype(jnp.float32)
     g = g.astype(jnp.float32)
-
-    r_blk = _row_block(h, max(cin, cout) * 2)
+    g_blk_in = jnp.pad(g, ((0, 0), (0, extra), (0, 0), (0, 0)))
 
     params_kernel = functools.partial(
         _dcn_bwd_params_kernel, h=h, w=w, cin=cin, cout=cout,
@@ -504,9 +524,9 @@ def dcn_v2_pallas_bwd(
     )
     doff_t, dmask_t, dw_b = pl.pallas_call(
         params_kernel,
-        grid=(b, h // r_blk),
+        grid=(b, h_pad // r_blk),
         in_specs=[
-            pl.BlockSpec((1, h + 2 * pad_rows, cin, w),
+            pl.BlockSpec((1, h_pad + 2 * pad_rows, cin, w),
                          lambda i, r: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 18, r_blk, w), lambda i, r: (i, 0, r, 0),
                          memory_space=pltpu.VMEM),
@@ -526,8 +546,8 @@ def dcn_v2_pallas_bwd(
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, 18, h, w), jnp.float32),
-            jax.ShapeDtypeStruct((b, 9, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, 18, h_pad, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, 9, h_pad, w), jnp.float32),
             jax.ShapeDtypeStruct((b, 9, cin, cout), jnp.float32),
         ],
         scratch_shapes=[
@@ -538,33 +558,33 @@ def dcn_v2_pallas_bwd(
             pltpu.VMEM((r_blk * cin, w), jnp.float32),
         ],
         interpret=interpret,
-    )(xt, off_t, mask_t, w_taps, g)
+    )(xt, off_t, mask_t, w_taps, g_blk_in)
 
     off_pad = jnp.pad(off_t, ((0, 0), (0, 0), (pad_rows, pad_rows), (0, 0)))
     mask_pad = jnp.pad(mask_t, ((0, 0), (0, 0), (pad_rows, pad_rows), (0, 0)))
-    g_pad = jnp.pad(g.astype(jnp.bfloat16),
+    g_pad = jnp.pad(g_blk_in.astype(jnp.bfloat16),
                     ((0, 0), (pad_rows, pad_rows), (0, 0), (0, 0)))
 
     dx_kernel = functools.partial(
-        _dcn_bwd_dx_kernel, h=h, w=w, cin=cin, cout=cout,
+        _dcn_bwd_dx_kernel, h=h, h_pad=h_pad, w=w, cin=cin, cout=cout,
         pad_rows=pad_rows, max_shift=max_shift, row_block=r_blk,
     )
     dx_t = pl.pallas_call(
         dx_kernel,
-        grid=(b, h // r_blk),
+        grid=(b, h_pad // r_blk),
         in_specs=[
-            pl.BlockSpec((1, 18, h + 2 * pad_rows, w),
+            pl.BlockSpec((1, 18, h_pad + 2 * pad_rows, w),
                          lambda i, r: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9, h + 2 * pad_rows, w),
+            pl.BlockSpec((1, 9, h_pad + 2 * pad_rows, w),
                          lambda i, r: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((9, cin, cout), lambda i, r: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h + 2 * pad_rows, w, cout),
+            pl.BlockSpec((1, h_pad + 2 * pad_rows, w, cout),
                          lambda i, r: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, r_blk, w, cin), lambda i, r: (i, r, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, cin), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h_pad, w, cin), jnp.float32),
         # whole-image off/mask/g refs are double-buffered across the grid;
         # allow the compiler past the default 16M scoped budget
         compiler_params=pltpu.CompilerParams(
@@ -572,9 +592,9 @@ def dcn_v2_pallas_bwd(
         interpret=interpret,
     )(off_pad, mask_pad, w_taps, g_pad)
 
-    dx = dx_t.astype(x.dtype)
-    doff = doff_t.transpose(0, 2, 3, 1)
-    dmask = dmask_t.transpose(0, 2, 3, 1)
+    dx = dx_t[:, :h].astype(x.dtype)
+    doff = doff_t[:, :, :h].transpose(0, 2, 3, 1)
+    dmask = dmask_t[:, :, :h].transpose(0, 2, 3, 1)
     dweight = dw_b.sum(axis=0).reshape(3, 3, cin, cout).astype(weight.dtype)
     dbias = g.sum(axis=(0, 1, 2))
     return dx, doff, dmask, dweight, dbias

@@ -65,6 +65,10 @@ def top_k_peaks(
     are flat ``y * W + x`` spatial indices.
     """
     b, h, w, c = scores.shape
+    assert k <= h * w, (
+        f"top-k {k} exceeds the {h}x{w} heatmap; lower max_detections or "
+        "raise the input size"
+    )
     # (B, C, H*W): class-major flattening as in the reference's NCHW view.
     per_class = scores.transpose(0, 3, 1, 2).reshape(b, c, h * w)
     topk_scores, topk_inds = lax.top_k(per_class, k)  # (B, C, k)

@@ -18,26 +18,32 @@ import jax
 import jax.numpy as jnp
 
 
-def _low_freq_mask(h: int, w: int, beta: float, use_circular: bool) -> jnp.ndarray:
-    """Boolean (H, W) mask of the low-frequency region in *unshifted* FFT layout.
+def _swap_mask(h: int, w: int, beta: float, use_circular: bool) -> jnp.ndarray:
+    """Boolean (H, W) mask of spectrum cells that take the TARGET amplitude
+    (unshifted FFT layout), replicating the reference's torch path exactly.
 
-    The reference's rectangular variant swaps the four ``b x b`` corners of
-    the unshifted spectrum, ``b = floor(min(h, w) * beta)``
-    (utils/image.py:139,150-156). The circular variant rasterizes an ellipse
-    of semi-axes ``(h*beta, w*beta)`` at the origin (utils/image.py:142-147);
-    we evaluate the same ellipse analytically on the frequency grid, wrapped
-    to the unshifted layout.
+    - rectangular (utils/image.py:150-156): the four corner blocks — rows in
+      ``[0:b] | [h-b:h]`` AND cols in ``[0:b] | [w-b:w]`` with
+      ``b = floor(min(h, w) * beta)`` — take the target amplitude.
+    - circular (utils/image.py:142-147): ``amp_src*mask + amp_trg*~mask``
+      with a cv2 ellipse centered at the unshifted origin (only its
+      positive-frequency quarter lies inside the image!) and axes
+      ``(h*beta, w*beta)`` with the FIRST axis horizontal — i.e. the SOURCE
+      amplitude is kept only inside that quarter-ellipse and everything
+      else takes the target amplitude. (The reference's numpy twin does the
+      opposite; the torch path is what the FDA trainer executes.)
     """
-    fy = jnp.minimum(jnp.arange(h), h - jnp.arange(h))[:, None].astype(jnp.float32)
-    fx = jnp.minimum(jnp.arange(w), w - jnp.arange(w))[None, :].astype(jnp.float32)
+    iy = jnp.arange(h)[:, None].astype(jnp.float32)
+    ix = jnp.arange(w)[None, :].astype(jnp.float32)
     if use_circular:
-        ay = max(int(h * beta), 1)
-        ax = max(int(w * beta), 1)
-        # cv2.ellipse(axes=(a, b)) rasterizes x^2/a^2 + y^2/b^2 <= 1 with the
-        # first axis horizontal; the reference passes axes=(h*L, w*L).
-        return (fx / ay) ** 2 + (fy / ax) ** 2 <= 1.0
+        ax_h = max(int(h * beta), 1)  # horizontal semi-axis (reference quirk)
+        ax_v = max(int(w * beta), 1)
+        keep_src = (ix / ax_h) ** 2 + (iy / ax_v) ** 2 <= 1.0
+        return ~keep_src
     b = int(math.floor(min(h, w) * beta))
-    return (fy < b) & (fx < b)
+    row = (iy < b) | (iy >= h - b)
+    col = (ix < b) | (ix >= w - b)
+    return row & col
 
 
 def fda_source_to_target(
@@ -58,7 +64,7 @@ def fda_source_to_target(
     pha_src = jnp.angle(fft_src)
     amp_trg = jnp.abs(fft_trg)
 
-    mask = _low_freq_mask(src.shape[1], src.shape[2], beta, use_circular)
+    mask = _swap_mask(src.shape[1], src.shape[2], beta, use_circular)
     amp_mixed = jnp.where(mask[None, :, :, None], amp_trg, amp_src)
 
     fft_mixed = amp_mixed * jnp.exp(1j * pha_src)

@@ -37,8 +37,14 @@ from centernet_uda_tpu.utils.tensorboard import TensorboardLogger
 log = logging.getLogger("uda")
 
 
-def load_datasets(cfg, down_ratio: int, rotated_boxes: bool):
-    """Build train/val/test loaders with merged defaults (train.py:17-67)."""
+def load_datasets(cfg, down_ratio: int, rotated_boxes: bool,
+                  full_batches_only: bool = False):
+    """Build train/val/test loaders with merged defaults (train.py:17-67).
+
+    ``full_batches_only``: under a device mesh every batch's leading dim
+    must divide by the data axis, so eval loaders also drop the final
+    partial batch (metrics then cover floor(N/B)*B samples).
+    """
     defaults = {
         "max_detections": cfg.max_detections,
         "down_ratio": down_ratio,
@@ -68,7 +74,12 @@ def load_datasets(cfg, down_ratio: int, rotated_boxes: bool):
         )
         return dataset, loader
 
-    val_ds, val_loader = build_loader(cfg.datasets.validation, False, False)
+    if full_batches_only:
+        log.info("device mesh active: eval loaders drop the final partial "
+                 "batch")
+
+    val_ds, val_loader = build_loader(cfg.datasets.validation, False,
+                                      full_batches_only)
     log.info("Found %d samples in validation dataset", len(val_ds))
 
     train_ds, train_loader = build_loader(cfg.datasets.training, True, True)
@@ -76,7 +87,8 @@ def load_datasets(cfg, down_ratio: int, rotated_boxes: bool):
 
     test_loader = None
     if "test" in cfg.datasets and cfg.datasets.get("test"):
-        test_ds, test_loader = build_loader(cfg.datasets.test, False, False)
+        test_ds, test_loader = build_loader(cfg.datasets.test, False,
+                                            full_batches_only)
         log.info("Found %d samples in test dataset", len(test_ds))
 
     return train_loader, val_loader, test_loader
@@ -132,6 +144,12 @@ def build_trainer(cfg):
         log.warning(
             "requested %d-way data parallelism but only %d device(s) "
             "available; running single-device", n_data, jax.device_count(),
+        )
+        n_data = 0
+    if n_data and int(cfg.get("batch_size", 1)) % n_data != 0:
+        log.warning(
+            "batch_size %s is not divisible by the %d-way data mesh; "
+            "running single-device", cfg.get("batch_size"), n_data,
         )
         n_data = 0
     if n_data or _should_auto_mesh(int(cfg.get("batch_size", 1))):
@@ -239,7 +257,9 @@ def main(argv=None) -> dict:
     backend = trainer.backend
 
     train_loader, val_loader, test_loader = load_datasets(
-        cfg, down_ratio=backend.down_ratio, rotated_boxes=backend.rotated_boxes
+        cfg, down_ratio=backend.down_ratio,
+        rotated_boxes=backend.rotated_boxes,
+        full_batches_only=trainer.mesh is not None,
     )
 
     tb_logger = TensorboardLogger(cfg, val_loader.dataset.classes)

@@ -60,6 +60,8 @@ class FCDiscriminator(nn.Module):
 
 
 class AdversarialEntropyMinimization(Model):
+    requires_target_domain = True
+
     SOURCE_LABEL = 0.0
     TARGET_LABEL = 1.0
 
@@ -129,8 +131,14 @@ class AdversarialEntropyMinimization(Model):
         return outputs_src, outputs_tgt, task_loss, dtf_loss, stats, batch_stats
 
     def _disc_losses(self, disc_params, src_hm, tgt_hm):
+        # reference quirk preserved: DetectionLoss sigmoids the SOURCE
+        # heatmap in place before the discriminator sees its detached copy
+        # (losses/centernet.py:34 -> :117-118), while the target stays raw
+        from centernet_uda_tpu.ops.tensor import sigmoid_clamped
+
+        src_in = sigmoid_clamped(jax.lax.stop_gradient(src_hm))
         d_src = self.discriminator.apply(
-            {"params": disc_params}, entropy_map(jax.lax.stop_gradient(src_hm))
+            {"params": disc_params}, entropy_map(src_in)
         )
         ds_loss, _ = self.adversarial_loss(d_src, self.SOURCE_LABEL)
         ds_loss = ds_loss / 2.0  # (:122)

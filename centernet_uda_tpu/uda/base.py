@@ -246,7 +246,19 @@ class Model:
             batch = self.mesh.shard_batch(batch)
         return batch
 
+    #: UDA subclasses forward the target domain in every phase
+    #: (uda/entropy_minimization.py:20, defaults.yaml sets the glob on the
+    #: validation/test datasets too)
+    requires_target_domain = False
+
     def step(self, data, is_training: bool = True):
+        if self.requires_target_domain and "target_domain_input" not in data:
+            raise ValueError(
+                f"{type(self).__name__} needs a target domain in every "
+                "phase; set datasets.<phase>.params.target_domain_glob to a "
+                "glob that matches images (the reference configures it for "
+                "training, validation and test alike)"
+            )
         batch = self._device_batch(data)
         if is_training:
             self.state, outputs, stats = self._train_step(self.state, batch)

@@ -14,6 +14,8 @@ from centernet_uda_tpu.uda.base import Model
 
 
 class EntropyMinimization(Model):
+    requires_target_domain = True
+
     def __init__(self, entropy_weight: float):
         super().__init__()
         self.entropy_loss = EntropyLoss()

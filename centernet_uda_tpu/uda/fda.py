@@ -16,6 +16,8 @@ from centernet_uda_tpu.uda.base import Model
 
 
 class FDA(Model):
+    requires_target_domain = True
+
     def __init__(self, entropy_weight: float, beta: float, eta: float = 1.5,
                  use_circular: bool = False):
         super().__init__()

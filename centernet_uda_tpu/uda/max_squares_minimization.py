@@ -13,6 +13,8 @@ from centernet_uda_tpu.uda.base import Model
 
 
 class MaxSquaresMinimization(Model):
+    requires_target_domain = True
+
     def __init__(self, max_squares_weight: float):
         super().__init__()
         self.max_squares_loss = MaxSquareLoss()

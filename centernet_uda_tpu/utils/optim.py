@@ -19,9 +19,13 @@ import optax
 
 def _adam(lr: float, betas=(0.9, 0.999), eps: float = 1e-8,
           weight_decay: float = 0.0, **_):
+    # torch Adam's weight_decay is COUPLED L2 (added to the gradient before
+    # the moment estimation), not AdamW's decoupled decay
     if weight_decay:
-        return optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps,
-                           weight_decay=weight_decay)
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps),
+        )
     return optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps)
 
 

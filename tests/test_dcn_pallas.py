@@ -92,3 +92,33 @@ def test_unsupported_shapes_fall_back(rng):
     out_ref = dcn_v2(x, off, m, wgt, None, use_pallas=False)
     np.testing.assert_allclose(np.asarray(out_fast), np.asarray(out_ref),
                                rtol=1e-5)
+
+
+def test_non_divisible_height(rng):
+    """H not divisible by the row block (e.g. the 100-row maps of 800px
+    eval) is padded internally and must still match the XLA op."""
+    x, off, m, wgt, bias = make_inputs(rng, b=1, h=12, w=16, cin=8, cout=8,
+                                       off_scale=1.0)
+    want = np.asarray(dcn_v2(x, off, m, wgt, bias))
+    got = np.asarray(dcn_v2_pallas(x, off, m, wgt, bias, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+    # backward too
+    from centernet_uda_tpu.ops.dcn import PALLAS_MAX_SHIFT
+    from centernet_uda_tpu.ops.dcn_pallas import dcn_v2_pallas_bwd
+
+    g = jnp.asarray(np.random.RandomState(3).randn(1, 12, 16, 8)
+                    .astype(np.float32))
+    grads = dcn_v2_pallas_bwd(x, off, m, wgt, g, interpret=True)
+
+    def ref(x, off, m, wgt, bias):
+        o = off.reshape(off.shape[:-1] + (9, 2))
+        oy = jnp.clip(o[..., 0], -PALLAS_MAX_SHIFT, PALLAS_MAX_SHIFT)
+        o = jnp.stack([oy, o[..., 1]], -1).reshape(off.shape)
+        return dcn_v2(x, o, m, wgt, bias)
+
+    _, vjp = jax.vjp(ref, x, off, m, wgt, bias)
+    want_g = vjp(g)
+    for a, b in zip(grads, want_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-2, rtol=2e-2)

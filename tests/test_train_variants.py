@@ -106,3 +106,41 @@ def test_entropy_uda_e2e(tmp_path):
                    + _dataset_overrides(img_dir, anno))
     assert np.isfinite(scalars["training/total_loss"])
     assert "training/entropy_loss" in scalars
+
+
+def test_keypoints_training_e2e(tmp_path):
+    """Keypoint heads end-to-end: KPSL1 loss, kps decode, gt_kps unpacking."""
+    img_dir, anno = make_tiny_coco(
+        tmp_path / "data", num_images=4, size=(64, 64), num_classes=2,
+        num_keypoints=3, seed=6,
+    )
+    cfg_dir = tmp_path / "configs"
+    (cfg_dir / "experiment").mkdir(parents=True, exist_ok=True)
+    with open("configs/defaults.yaml") as f:
+        defaults = yaml.safe_load(f)
+    with open(cfg_dir / "defaults.yaml", "w") as f:
+        yaml.safe_dump(defaults, f)
+    exp = {
+        "experiment": "kps_tiny",
+        "model": {
+            "backend": {
+                "name": "resnet",
+                "params": {"num_layers": 18, "num_classes": 2,
+                           "num_keypoints": 3, "pretrained": False},
+                "loss": {"params": {
+                    "kp_weight": 1.0,
+                    "kp_indices": [[0, 1], [1, 2]],
+                    "kp_distance_weight": 0.5,
+                }},
+            },
+            "uda": None,
+        },
+    }
+    with open(cfg_dir / "experiment" / "kps_tiny.yaml", "w") as f:
+        yaml.safe_dump(exp, f)
+
+    scalars = _run(tmp_path, cfg_dir, ["experiment=kps_tiny"]
+                   + _dataset_overrides(img_dir, anno))
+    assert np.isfinite(scalars["training/total_loss"])
+    assert "training/kp_loss" in scalars
+    assert np.isfinite(scalars["training/kp_loss"])

@@ -15,6 +15,7 @@ def make_tiny_coco(
     max_objects: int = 4,
     seed: int = 0,
     rotated: bool = False,
+    num_keypoints: int = 0,
 ):
     """Write a tiny COCO-format dataset; returns (image_dir, anno_file)."""
     rng = np.random.RandomState(seed)
@@ -51,6 +52,16 @@ def make_tiny_coco(
                     float(x + bw / 2), float(y + bh / 2),
                     float(bw), float(bh), angle,
                 ]
+            if num_keypoints:
+                kps = []
+                for _ in range(num_keypoints):
+                    kps.extend([
+                        float(rng.uniform(x, x + bw)),
+                        float(rng.uniform(y, y + bh)),
+                        2,  # visible
+                    ])
+                ann["keypoints"] = kps
+                ann["num_keypoints"] = num_keypoints
             annotations.append(ann)
             ann_id += 1
         fname = f"img_{img_id:03d}.png"

@@ -144,3 +144,36 @@ def test_keypoints_training_e2e(tmp_path):
     assert np.isfinite(scalars["training/total_loss"])
     assert "training/kp_loss" in scalars
     assert np.isfinite(scalars["training/kp_loss"])
+
+
+def test_test_only_phase(tmp_path):
+    """test_only=true: skips training, runs the test phase from a resume."""
+    img_dir, anno = _setup(tmp_path, rotated=False)[:2]
+    cfg_dir = tmp_path / "configs"
+    exp = {
+        "experiment": "test_only_tiny",
+        "model": {
+            "backend": {"name": "resnet",
+                        "params": {"num_layers": 18, "num_classes": 2,
+                                   "pretrained": False}},
+            "uda": None,
+        },
+        "datasets": {
+            "test": {"name": "coco", "params": {
+                "image_folder": str(img_dir),
+                "annotation_file": str(anno),
+                "input_size": [64, 64],
+            }},
+        },
+    }
+    with open(cfg_dir / "experiment" / "test_only_tiny.yaml", "w") as f:
+        yaml.safe_dump(exp, f)
+
+    scalars = _run(tmp_path, cfg_dir, ["experiment=test_only_tiny",
+                                       "test_only=true"]
+                   + _dataset_overrides(img_dir, anno))
+    assert "test/total_loss" in scalars
+    assert np.isfinite(scalars["test/total_loss"])
+    assert "MSCOCO_Precision/mAP" in scalars
+    # no training happened
+    assert "training/total_loss" not in scalars

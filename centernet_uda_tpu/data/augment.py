@@ -141,8 +141,15 @@ class Affine(_AffineBase):
         s = _sample(self.scale, rng)
         r = math.radians(_sample(self.rotate, rng))
         sh = math.radians(_sample(self.shear, rng))
-        tx = _sample(self.translate_percent, rng) * w
-        ty = _sample(self.translate_percent, rng) * h
+        # imgaug samples ONE translate fraction per image and applies it to
+        # both axes when given a scalar/range; a dict gives per-axis ranges
+        if isinstance(self.translate_percent, dict):
+            tx = _sample(self.translate_percent.get("x", 0.0), rng) * w
+            ty = _sample(self.translate_percent.get("y", 0.0), rng) * h
+        else:
+            frac = _sample(self.translate_percent, rng)
+            tx = frac * w
+            ty = frac * h
 
         cx, cy = w / 2.0, h / 2.0
         cos_r, sin_r = math.cos(r), math.sin(r)

@@ -40,8 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _row_block(h: int, cin: int) -> int:
     # keep the (R*Cin, W) gather temporaries within the VMEM budget
-    budget = max(2048 // max(cin, 1), 8)
-    for r in (16, 8):
+    budget = max(4096 // max(cin, 1), 8)
+    for r in (32, 16, 8):
         if r <= budget and h % r == 0 and h >= r:
             return r
     return min(h, 8)
@@ -498,7 +498,7 @@ def dcn_v2_pallas_bwd(
     _, _, _, cout = weight.shape
     pad_rows = max_shift + 2
 
-    r_blk = _row_block(h, max(cin, cout) * 2)
+    r_blk = _row_block(h, max(cin, cout) * 4)
     # pad H to whole row blocks (padded rows: zero offsets/mask/cotangent ->
     # zero contributions; outputs sliced back to h)
     h_pad = -(-h // r_blk) * r_blk

@@ -177,3 +177,56 @@ def test_test_only_phase(tmp_path):
     assert "MSCOCO_Precision/mAP" in scalars
     # no training happened
     assert "training/total_loss" not in scalars
+
+
+def test_advent_e2e(tmp_path):
+    """ADVENT through main(): discriminator init, dual-optimizer step,
+    separate discriminator checkpoint (needs >=128px for the 5x stride-2
+    discriminator)."""
+    img_dir, anno = make_tiny_coco(
+        tmp_path / "data", num_images=4, size=(128, 128), num_classes=2,
+        seed=8,
+    )
+    cfg_dir = tmp_path / "configs"
+    (cfg_dir / "experiment").mkdir(parents=True, exist_ok=True)
+    with open("configs/defaults.yaml") as f:
+        defaults = yaml.safe_load(f)
+    with open(cfg_dir / "defaults.yaml", "w") as f:
+        yaml.safe_dump(defaults, f)
+    exp = {
+        "experiment": "advent_tiny",
+        "model": {
+            "backend": {"name": "resnet",
+                        "params": {"num_layers": 18, "num_classes": 2,
+                                   "pretrained": False}},
+            "uda": {"AdversarialEntropyMinimization": {
+                "adversarial_weight": 0.001,
+                "optimizer": {"name": "Adam", "params": {"lr": 0.001}},
+            }},
+        },
+        "datasets": {
+            "training": {"params": {
+                "target_domain_glob": str(img_dir / "*.png")}},
+            "validation": {"params": {
+                "target_domain_glob": str(img_dir / "*.png")}},
+        },
+    }
+    with open(cfg_dir / "experiment" / "advent_tiny.yaml", "w") as f:
+        yaml.safe_dump(exp, f)
+
+    overrides = [
+        f"datasets.training.params.image_folder={img_dir}",
+        f"datasets.training.params.annotation_file={anno}",
+        "datasets.training.params.input_size=[128,128]",
+        "datasets.training.params.augmentation=null",
+        f"datasets.validation.params.image_folder={img_dir}",
+        f"datasets.validation.params.annotation_file={anno}",
+        "datasets.validation.params.input_size=[128,128]",
+        "epochs=1", "batch_size=2", "num_workers=0", "max_detections=8",
+    ]
+    scalars = _run(tmp_path, cfg_dir, ["experiment=advent_tiny"] + overrides)
+    for key in ("training/dis_source", "training/dis_target",
+                "training/dis_fool"):
+        assert key in scalars and np.isfinite(scalars[key])
+    run_dir = tmp_path / "outputs" / "advent_tiny"
+    assert (run_dir / "discriminator.ckpt").exists()

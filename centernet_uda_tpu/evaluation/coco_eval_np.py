@@ -192,35 +192,54 @@ class COCOEval:
         T = len(IOU_THRS)
         D = len(dts)
         G = len(gts)
-        dtm = np.zeros((T, D), dtype=np.int64)
-        gtm = np.zeros((T, G), dtype=np.int64)
-        dt_ig = np.zeros((T, D), dtype=bool)
-
-        for ti, t in enumerate(IOU_THRS):
-            for di in range(D):
-                best = min(t, 1 - 1e-10)
-                match = -1
-                for gi in range(G):
-                    if gtm[ti, gi] > 0 and not gts[gt_order[gi]].get("iscrowd", 0):
-                        continue
-                    # stop at ignored gts once a non-ignored match was found
-                    if match > -1 and not gt_ig[match] and gt_ig[gi]:
-                        break
-                    if iou[di, gi] < best:
-                        continue
-                    best = iou[di, gi]
-                    match = gi
-                if match == -1:
-                    continue
-                dt_ig[ti, di] = gt_ig[match]
-                dtm[ti, di] = 1
-                gtm[ti, match] = 1
-
         dt_out = np.array(
             [d["area"] < area_rng[0] or d["area"] > area_rng[1] for d in dts],
             dtype=bool,
         )
-        dt_ig = np.logical_or(dt_ig, np.logical_and(dtm == 0, dt_out[None, :]))
+        gt_crowd = np.array(
+            [bool(gts[gt_order[gi]].get("iscrowd", 0)) for gi in range(G)],
+            dtype=bool,
+        )
+
+        # native greedy matcher (C++) keeps large validation sets off the
+        # Python interpreter; falls back to the pure-Python loop
+        from centernet_uda_tpu import native
+
+        # the cached IoU matrix covers the top max(MAX_DETS) detections;
+        # slice to this maxDet's D rows
+        matched = native.coco_greedy_match(
+            iou[:D], gt_ig, gt_crowd, IOU_THRS, dt_out
+        ) if D else None
+        if matched is not None:
+            dtm = matched[0].astype(np.int64)
+            dt_ig = matched[1].astype(bool)
+        else:
+            dtm = np.zeros((T, D), dtype=np.int64)
+            gtm = np.zeros((T, G), dtype=np.int64)
+            dt_ig = np.zeros((T, D), dtype=bool)
+
+            for ti, t in enumerate(IOU_THRS):
+                for di in range(D):
+                    best = min(t, 1 - 1e-10)
+                    match = -1
+                    for gi in range(G):
+                        if gtm[ti, gi] > 0 and not gt_crowd[gi]:
+                            continue
+                        # stop at ignored gts once a non-ignored match found
+                        if match > -1 and not gt_ig[match] and gt_ig[gi]:
+                            break
+                        if iou[di, gi] < best:
+                            continue
+                        best = iou[di, gi]
+                        match = gi
+                    if match == -1:
+                        continue
+                    dt_ig[ti, di] = gt_ig[match]
+                    dtm[ti, di] = 1
+                    gtm[ti, match] = 1
+            dt_ig = np.logical_or(
+                dt_ig, np.logical_and(dtm == 0, dt_out[None, :])
+            )
         return {
             "dt_scores": np.array([d["score"] for d in dts]),
             "dt_matches": dtm,

@@ -155,3 +155,52 @@ def normalize_image(img: np.ndarray, mean, std) -> Optional[np.ndarray]:
         _ptr(mean, ctypes.c_float), _ptr(std, ctypes.c_float),
     )
     return out
+
+
+def _declare_match(lib):
+    import ctypes
+
+    lib.coco_greedy_match.restype = None
+    lib.coco_greedy_match.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+
+
+def coco_greedy_match(ious, gt_ignore, gt_crowd, thrs, dt_out_of_range):
+    """Native COCO greedy matching; returns (dtm, dt_ignore) as (T, D)
+    uint8 arrays, or None without a toolchain."""
+    lib = load()
+    if lib is None:
+        return None
+    if not hasattr(lib.coco_greedy_match, "argtypes") or \
+            not lib.coco_greedy_match.argtypes:
+        _declare_match(lib)
+
+    import ctypes
+
+    ious = np.ascontiguousarray(ious, np.float64)
+    gt_ignore = np.ascontiguousarray(gt_ignore, np.uint8)
+    gt_crowd = np.ascontiguousarray(gt_crowd, np.uint8)
+    thrs = np.ascontiguousarray(thrs, np.float64)
+    dt_out = np.ascontiguousarray(dt_out_of_range, np.uint8)
+    num_dt, num_gt = (ious.shape if ious.size else (len(dt_out), 0))
+    num_thrs = len(thrs)
+
+    dtm = np.zeros((num_thrs, num_dt), np.uint8)
+    dt_ig = np.zeros((num_thrs, num_dt), np.uint8)
+    gtm = np.zeros((max(num_gt, 1),), np.int32)
+
+    lib.coco_greedy_match(
+        _ptr(ious, ctypes.c_double), int(num_dt), int(num_gt),
+        _ptr(gt_ignore, ctypes.c_uint8), _ptr(gt_crowd, ctypes.c_uint8),
+        _ptr(thrs, ctypes.c_double), int(num_thrs),
+        _ptr(dt_out, ctypes.c_uint8),
+        _ptr(dtm, ctypes.c_uint8), _ptr(dt_ig, ctypes.c_uint8),
+        _ptr(gtm, ctypes.c_int32),
+    )
+    return dtm, dt_ig

@@ -168,3 +168,50 @@ void normalize_image(const uint8_t* src, float* dst, int num_pixels,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// COCO greedy detection<->gt matching for one (image, category) cell over
+// all IoU thresholds (the pycocotools evaluateImg inner loops,
+// cocoeval.py) — the Python-side numpy evaluator calls this per cell so
+// large validation sets do not bottleneck on interpreter loops.
+//
+// ious:      (D, G) row-major detection x gt IoU
+// gt_ignore: (G,) 0/1 (already sorted non-ignored-first by the caller)
+// gt_crowd:  (G,) 0/1
+// thrs:      (T,) IoU thresholds
+// outputs (caller-allocated): dtm (T, D) 0/1 matched flag,
+//   dt_ignore (T, D) 0/1, gtm_scratch (G,) workspace
+void coco_greedy_match(
+    const double* ious, int num_dt, int num_gt,
+    const uint8_t* gt_ignore, const uint8_t* gt_crowd,
+    const double* thrs, int num_thrs,
+    const uint8_t* dt_out_of_range,
+    uint8_t* dtm, uint8_t* dt_ig, int32_t* gtm_scratch) {
+    for (int ti = 0; ti < num_thrs; ++ti) {
+        for (int g = 0; g < num_gt; ++g) gtm_scratch[g] = 0;
+        for (int d = 0; d < num_dt; ++d) {
+            double best = thrs[ti] < 1.0 - 1e-10 ? thrs[ti] : 1.0 - 1e-10;
+            int match = -1;
+            for (int g = 0; g < num_gt; ++g) {
+                if (gtm_scratch[g] && !gt_crowd[g]) continue;
+                if (match > -1 && !gt_ignore[match] && gt_ignore[g]) break;
+                double iou = ious[(size_t)d * num_gt + g];
+                if (iou < best) continue;
+                best = iou;
+                match = g;
+            }
+            size_t idx = (size_t)ti * num_dt + d;
+            if (match == -1) {
+                dtm[idx] = 0;
+                dt_ig[idx] = dt_out_of_range[d];
+            } else {
+                dtm[idx] = 1;
+                dt_ig[idx] = gt_ignore[match];
+                gtm_scratch[match] = 1;
+            }
+        }
+    }
+}
+
+}  // extern "C"

@@ -70,6 +70,15 @@ class Model:
 
         input_size = self._train_input_size()
         variables = self.backend.init(rng, input_size)
+        if (self.backend.extra or {}).get("pretrained"):
+            # backend-level ImageNet trunk weights (the reference downloads
+            # them at build time: backends/resnet.py:27-30, dla.py:297-309,
+            # mobilenetv2.py:31-36, efficientnet.py:53-56)
+            from centernet_uda_tpu.utils import torch_import
+
+            variables = torch_import.load_backbone_pretrained(
+                self.backend, variables
+            )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
 

@@ -82,7 +82,9 @@ class Evaluator:
         self.pred_annos: List[Dict] = []
         self.gt_annos: List[Dict] = []
         self.existent_labels: Dict[int, bool] = {}
-        self._cached_ids: List = []  # instance-level (reference used class attrs)
+        # instance-level (reference used class attrs) and O(1) per lookup
+        # (the reference's list.index scan is O(N) per image)
+        self._cached_ids: Dict = {}
         self._anno_id = 0
 
     # ------------------------------------------------------------------
@@ -108,9 +110,9 @@ class Evaluator:
         for i in range(len(pred_boxes)):
             gt_id = gt_ids[i]
             gt_id = gt_id.item() if hasattr(gt_id, "item") else gt_id
-            if gt_id not in self._cached_ids:
-                self._cached_ids.append(gt_id)
-            image_id = self._cached_ids.index(gt_id) + 1
+            image_id = self._cached_ids.setdefault(
+                gt_id, len(self._cached_ids) + 1
+            )
 
             boxes = np.asarray(pred_boxes[i], np.float64)
             classes = np.asarray(pred_classes[i]).astype(int)
@@ -214,5 +216,5 @@ class Evaluator:
         self.pred_annos = []
         self.gt_annos = []
         self.existent_labels = {}
-        self._cached_ids = []
+        self._cached_ids = {}
         self._anno_id = 0

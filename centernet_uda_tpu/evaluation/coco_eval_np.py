@@ -33,8 +33,13 @@ AREA_RNG = (
 AREA_LBL = ("all", "small", "medium", "large")
 
 
-def bbox_iou_matrix(dts: np.ndarray, gts: np.ndarray) -> np.ndarray:
-    """IoU between (D, 4) and (G, 4) x1y1x2y2 boxes -> (D, G)."""
+def bbox_iou_matrix(dts: np.ndarray, gts: np.ndarray,
+                    crowd: Optional[np.ndarray] = None) -> np.ndarray:
+    """IoU between (D, 4) and (G, 4) x1y1x2y2 boxes -> (D, G).
+
+    For ``iscrowd`` gts pycocotools uses the *expected* IoU —
+    intersection over detection area instead of union (maskUtils.iou
+    semantics driven by cocoeval.computeIoU's iscrowd list)."""
     if len(dts) == 0 or len(gts) == 0:
         return np.zeros((len(dts), len(gts)))
     dts = dts.astype(np.float64)
@@ -47,6 +52,9 @@ def bbox_iou_matrix(dts: np.ndarray, gts: np.ndarray) -> np.ndarray:
     area_d = (dts[:, 2] - dts[:, 0]) * (dts[:, 3] - dts[:, 1])
     area_g = (gts[:, 2] - gts[:, 0]) * (gts[:, 3] - gts[:, 1])
     union = area_d[:, None] + area_g[None, :] - inter
+    if crowd is not None and np.any(crowd):
+        union = np.where(np.asarray(crowd, bool)[None, :],
+                         np.broadcast_to(area_d[:, None], union.shape), union)
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
@@ -110,8 +118,12 @@ def _rotated_to_polygon(box: Sequence[float]) -> np.ndarray:
     return np.array([cx, cy]) + pts @ rot
 
 
-def rotated_iou_matrix(dts: np.ndarray, gts: np.ndarray) -> np.ndarray:
-    """Exact polygon IoU between rotated boxes (D, 5) x (G, 5) -> (D, G)."""
+def rotated_iou_matrix(dts: np.ndarray, gts: np.ndarray,
+                       crowd: Optional[np.ndarray] = None) -> np.ndarray:
+    """Exact polygon IoU between rotated boxes (D, 5) x (G, 5) -> (D, G).
+
+    ``iscrowd`` gts use intersection over detection area (see
+    ``bbox_iou_matrix``)."""
     if len(dts) == 0 or len(gts) == 0:
         return np.zeros((len(dts), len(gts)))
     d_polys = [_rotated_to_polygon(d) for d in dts]
@@ -122,7 +134,10 @@ def rotated_iou_matrix(dts: np.ndarray, gts: np.ndarray) -> np.ndarray:
     for i, dp in enumerate(d_polys):
         for j, gp in enumerate(g_polys):
             inter = _polygon_area(_clip_polygon(dp, gp))
-            union = d_areas[i] + g_areas[j] - inter
+            if crowd is not None and crowd[j]:
+                union = d_areas[i]
+            else:
+                union = d_areas[i] + g_areas[j] - inter
             out[i, j] = inter / union if union > 0 else 0.0
     return out
 
@@ -164,9 +179,10 @@ class COCOEval:
             return np.zeros((len(dts), len(gts)))
         d = np.array([dt["bbox"] for dt in dts])
         g = np.array([gt["bbox"] for gt in gts])
+        crowd = np.array([bool(gt.get("iscrowd", 0)) for gt in gts])
         if self.rotated:
-            return rotated_iou_matrix(d, g)
-        return bbox_iou_matrix(d, g)
+            return rotated_iou_matrix(d, g, crowd)
+        return bbox_iou_matrix(d, g, crowd)
 
     def _evaluate_img(self, img_id, cat_id, area_rng, max_det, ious):
         gts = self.gts[(img_id, cat_id)]
@@ -339,7 +355,7 @@ class COCOEval:
         val[val == -1] = np.nan
         val = val.reshape((-1, val.shape[-1]))
         valid = np.any(~np.isnan(val), axis=0)
-        cls_val = np.nan * np.ones(len(valid), dtype=np.float32)
+        cls_val = np.nan * np.ones(len(valid), dtype=np.float64)
         if np.any(valid):
             cls_val[valid] = np.nanmean(val[:, valid], axis=0)
             mean_val = float(np.nanmean(cls_val))

@@ -388,20 +388,24 @@ def _dcn_bwd_dx_kernel(off_ref, mask_ref, w_ref, g_ref, dx_ref, *,
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 0)
 
     dx_acc = jnp.zeros((r_blk, w, cin), jnp.float32)
-    h2p = h_pad + 2 * pad_rows
-    rgrid_all = jax.lax.broadcasted_iota(jnp.int32, (h2p, w), 0) - pad_rows
+    # only source rows in [r0-P, r0+R+P) can write into this block (|rel| is
+    # structurally <= P = max_shift+2); padded index of that band = [r0, ...)
+    band = r_blk + 2 * pad_rows
+    rgrid_band = (jax.lax.broadcasted_iota(jnp.int32, (band, w), 0)
+                  + (r0 - pad_rows))
 
     for t in range(9):
         ti, tj = t // 3, t % 3
 
-        # dynamic shift range from the whole image's offset field: only
-        # displacements that occur anywhere are visited (zero-padded rows
-        # contribute rel = ti-1, widening the range by at most 1)
-        off_y_all = jnp.clip(off_ref[0, 2 * t], -max_shift, max_shift)
-        py_all = rgrid_all.astype(jnp.float32) + (ti - 1) + off_y_all
-        rel_all = jnp.floor(py_all).astype(jnp.int32) - rgrid_all
-        d_lo = jnp.maximum(jnp.min(rel_all), -max_shift - 2)
-        d_hi = jnp.minimum(jnp.max(rel_all) + 1, max_shift + 2)
+        # dynamic shift range from the local band's offset field: only
+        # displacements that occur near this block are visited (zero-padded
+        # rows contribute rel = ti-1, widening the range by at most 1)
+        off_y_band = jnp.clip(off_ref[0, 2 * t, pl.ds(r0, band)],
+                              -max_shift, max_shift)
+        py_band = rgrid_band.astype(jnp.float32) + (ti - 1) + off_y_band
+        rel_band = jnp.floor(py_band).astype(jnp.int32) - rgrid_band
+        d_lo = jnp.maximum(jnp.min(rel_band), -max_shift - 2)
+        d_hi = jnp.minimum(jnp.max(rel_band) + 1, max_shift + 2)
 
         def shift_body(d, acc):
             # source output rows rs = r0 - d + [0, R); padded index rs + P
@@ -445,26 +449,22 @@ def _dcn_bwd_dx_kernel(off_ref, mask_ref, w_ref, g_ref, dx_ref, *,
                     g_s, w_ref[t].astype(jnp.bfloat16),
                     (((2,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # (R, W_j, Cin)
+                ).astype(jnp.bfloat16)  # (R, W_j, Cin)
 
                 a_w = sel0 * w00 + sel1 * w10
                 b_w = sel0 * w01 + sel1 * w11
-                t0 = gcol * a_w[:, :, None]
-                t1 = gcol * b_w[:, :, None]
 
                 x0c = jnp.clip(x0, 0, w - 1)
                 x1c = jnp.clip(x0 + 1, 0, w - 1)
-                # transposed one-hot (R, Wpos, Wj) so the scatter matmul is
-                # the canonical (M, K) x (K, N) orientation on the MXU
-                p0t = (x0c[:, None, :] == pos).astype(jnp.bfloat16)
-                p1t = (x1c[:, None, :] == pos).astype(jnp.bfloat16)
-                # dx[r, pos, c] += sum_j P^T[r, pos, j] * t[r, j, c]
+                # combined weighted scatter matrix (R, Wpos, Wj): the corner
+                # weights fold into the one-hot, so one matmul covers both
+                # x-corners and no weighted-cotangent temporaries are built
+                s_w = (jnp.where(x0c[:, None, :] == pos, a_w[:, None, :], 0.0)
+                       + jnp.where(x1c[:, None, :] == pos, b_w[:, None, :],
+                                   0.0)).astype(jnp.bfloat16)
+                # dx[r, pos, c] += sum_j S[r, pos, j] * gcol[r, j, c]
                 return acc + jax.lax.dot_general(
-                    p0t, t0.astype(jnp.bfloat16),
-                    (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                ) + jax.lax.dot_general(
-                    p1t, t1.astype(jnp.bfloat16),
+                    s_w, gcol,
                     (((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                 )
@@ -476,24 +476,9 @@ def _dcn_bwd_dx_kernel(off_ref, mask_ref, w_ref, g_ref, dx_ref, *,
     dx_ref[0] = dx_acc
 
 
-@functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
-def dcn_v2_pallas_bwd(
-    x: jax.Array,
-    offset: jax.Array,
-    mask: jax.Array,
-    weight: jax.Array,
-    g: jax.Array,
-    max_shift: int = 14,
-    interpret: bool = False,
-):
-    """Gradients of ``dcn_v2_pallas`` w.r.t. (x, offset, mask, weight, bias).
-
-    Matches the analytic CUDA backward semantics (col2im / col2im_coord,
-    src/cuda/dcn_v2_im2col_cuda.cu:197-330) under the same vertical-offset
-    clamp as the Pallas forward. Two fused kernels: a source-centric pass
-    for (doffset, dmask, dweight) and a gather-free destination-centric
-    pass for dx.
-    """
+def _bwd_stage(x, offset, mask, weight, g, max_shift):
+    """Shared staging for the two backward kernels: row padding, the
+    W-on-lanes transpose, channel-major offset/mask layout."""
     b, h, w, cin = x.shape
     _, _, _, cout = weight.shape
     pad_rows = max_shift + 2
@@ -517,7 +502,15 @@ def dcn_v2_pallas_bwd(
     w_taps = weight.reshape(9, cin, cout).astype(jnp.float32)
     g = g.astype(jnp.float32)
     g_blk_in = jnp.pad(g, ((0, 0), (0, extra), (0, 0), (0, 0)))
+    dims = dict(b=b, h=h, w=w, cin=cin, cout=cout, pad_rows=pad_rows,
+                r_blk=r_blk, h_pad=h_pad)
+    return xt, off_t, mask_t, w_taps, g_blk_in, dims
 
+
+def _bwd_params_call(xt, off_t, mask_t, w_taps, g_blk_in, dims, max_shift,
+                     interpret):
+    b, h, w, cin, cout = (dims[k] for k in ("b", "h", "w", "cin", "cout"))
+    pad_rows, r_blk, h_pad = dims["pad_rows"], dims["r_blk"], dims["h_pad"]
     params_kernel = functools.partial(
         _dcn_bwd_params_kernel, h=h, w=w, cin=cin, cout=cout,
         pad_rows=pad_rows, max_shift=max_shift, row_block=r_blk,
@@ -559,7 +552,12 @@ def dcn_v2_pallas_bwd(
         ],
         interpret=interpret,
     )(xt, off_t, mask_t, w_taps, g_blk_in)
+    return doff_t, dmask_t, dw_b
 
+
+def _bwd_dx_call(off_t, mask_t, w_taps, g_blk_in, dims, max_shift, interpret):
+    b, h, w, cin, cout = (dims[k] for k in ("b", "h", "w", "cin", "cout"))
+    pad_rows, r_blk, h_pad = dims["pad_rows"], dims["r_blk"], dims["h_pad"]
     off_pad = jnp.pad(off_t, ((0, 0), (0, 0), (pad_rows, pad_rows), (0, 0)))
     mask_pad = jnp.pad(mask_t, ((0, 0), (0, 0), (pad_rows, pad_rows), (0, 0)))
     g_pad = jnp.pad(g_blk_in.astype(jnp.bfloat16),
@@ -591,10 +589,59 @@ def dcn_v2_pallas_bwd(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(off_pad, mask_pad, w_taps, g_pad)
+    return dx_t
+
+
+@functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
+def dcn_v2_pallas_bwd_params(x, offset, mask, weight, g, max_shift: int = 14,
+                             interpret: bool = False):
+    """(doffset, dmask, dweight) alone — microbenchmark entry."""
+    xt, off_t, mask_t, w_taps, g_blk_in, dims = _bwd_stage(
+        x, offset, mask, weight, g, max_shift)
+    return _bwd_params_call(xt, off_t, mask_t, w_taps, g_blk_in, dims,
+                            max_shift, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
+def dcn_v2_pallas_bwd_dx(x, offset, mask, weight, g, max_shift: int = 14,
+                         interpret: bool = False):
+    """dx alone — microbenchmark entry."""
+    xt, off_t, mask_t, w_taps, g_blk_in, dims = _bwd_stage(
+        x, offset, mask, weight, g, max_shift)
+    return _bwd_dx_call(off_t, mask_t, w_taps, g_blk_in, dims, max_shift,
+                        interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
+def dcn_v2_pallas_bwd(
+    x: jax.Array,
+    offset: jax.Array,
+    mask: jax.Array,
+    weight: jax.Array,
+    g: jax.Array,
+    max_shift: int = 14,
+    interpret: bool = False,
+):
+    """Gradients of ``dcn_v2_pallas`` w.r.t. (x, offset, mask, weight, bias).
+
+    Matches the analytic CUDA backward semantics (col2im / col2im_coord,
+    src/cuda/dcn_v2_im2col_cuda.cu:197-330) under the same vertical-offset
+    clamp as the Pallas forward. Two fused kernels: a source-centric pass
+    for (doffset, dmask, dweight) and a gather-free destination-centric
+    pass for dx.
+    """
+    h, cin = x.shape[1], x.shape[3]
+    cout = weight.shape[3]
+    xt, off_t, mask_t, w_taps, g_blk_in, dims = _bwd_stage(
+        x, offset, mask, weight, g, max_shift)
+    doff_t, dmask_t, dw_b = _bwd_params_call(
+        xt, off_t, mask_t, w_taps, g_blk_in, dims, max_shift, interpret)
+    dx_t = _bwd_dx_call(off_t, mask_t, w_taps, g_blk_in, dims, max_shift,
+                        interpret)
 
     dx = dx_t[:, :h].astype(x.dtype)
     doff = doff_t[:, :, :h].transpose(0, 2, 3, 1)
     dmask = dmask_t[:, :, :h].transpose(0, 2, 3, 1)
     dweight = dw_b.sum(axis=0).reshape(3, 3, cin, cout).astype(weight.dtype)
-    dbias = g.sum(axis=(0, 1, 2))
+    dbias = g_blk_in[:, :h].sum(axis=(0, 1, 2))
     return dx, doff, dmask, dweight, dbias

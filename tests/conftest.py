@@ -27,3 +27,33 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+# ---------------------------------------------------------------------------
+# slow-test auto-marking (duration-driven; see pytest.ini). The smoke subset
+# `pytest -m "not slow"` stays under ~2 min; the full suite is ~25 min.
+# ---------------------------------------------------------------------------
+
+_SLOW = (
+    "test_train_variants.py",
+    "test_train_e2e.py",
+    "test_uda.py",
+    "test_parallel.py",
+    "test_backends_extra.py",
+    "test_export.py",
+    "test_dcn_pooling.py",
+    "test_dla.py::test_dla_train_step_grads",
+    "test_dla.py::test_trunk_level_shapes",
+    "test_dla.py::test_dlaseg_head_contract",
+    "test_dcn_pallas.py::test_non_divisible_height",
+    "test_dcn_pallas.py::test_custom_vjp_backward_matches_clamped_xla",
+    "test_dcn_pallas.py::test_matches_xla_within_clamp",
+    "test_models.py::TestResNet::test_head_contract[50",
+    "test_dcn.py::test_gradcheck",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(s in item.nodeid for s in _SLOW):
+            item.add_marker(pytest.mark.slow)

@@ -47,10 +47,59 @@ def _row_block(h: int, cin: int) -> int:
     return min(h, 8)
 
 
+def _pack_factor(b: int, w: int) -> int:
+    """How many images to pack side-by-side on the 128-lane axis.
+
+    Small feature maps (W < 128 — the DLA neck runs DCN at W down to 16,
+    backends/dla.py:375-441) would otherwise use W/128 of each vector
+    register; packing pk images recovers full lane utilization and divides
+    the grid by pk. pk must divide the batch."""
+    pk = 1
+    while pk * 2 * w <= 128 and b % (pk * 2) == 0:
+        pk *= 2
+    return pk
+
+
+def _pack_w(a: jax.Array, pk: int) -> jax.Array:
+    """(B, H, W, K) -> (B/pk, H, pk*W, K): pk images side by side."""
+    if pk == 1:
+        return a
+    b, h, w, k = a.shape
+    return (a.reshape(b // pk, pk, h, w, k)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(b // pk, h, pk * w, k))
+
+
+def _unpack_w(a: jax.Array, pk: int) -> jax.Array:
+    """Inverse of ``_pack_w`` on a (B/pk, H, pk*W, K) array."""
+    if pk == 1:
+        return a
+    bp, h, wl, k = a.shape
+    return (a.reshape(bp, h, pk, wl // pk, k)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(bp * pk, h, wl // pk, k))
+
+
+def _seg_grids(r_blk: int, wl: int, w_img: int):
+    """Per-lane (segment-local column, segment base) for packed layouts.
+
+    wl = pk * w_img lanes hold pk images side by side; the division is by
+    a trace-time constant via the exact midpoint-float trick (wl <= 128).
+    """
+    iota = jax.lax.broadcasted_iota(jnp.int32, (r_blk, wl), 1)
+    if wl == w_img:
+        return iota, None
+    seg = jnp.floor((iota.astype(jnp.float32) + 0.5) * (1.0 / w_img)
+                    ).astype(jnp.int32)
+    seg_base = seg * w_img
+    return iota - seg_base, seg_base
+
+
 def _dcn_kernel(xt_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, *,
-                h: int, w: int, cin: int, cout: int, pad_rows: int,
-                max_shift: int, row_block: int):
-    """Program (i, r): image i, row block r. Layouts:
+                h: int, w: int, w_img: int, cin: int, cout: int,
+                pad_rows: int, max_shift: int, row_block: int):
+    """Program (i, r): image group i, row block r. Layouts (W = pk lane-
+    packed images of width w_img each, see ``_pack_factor``):
     xt_ref   (1, H+2P, Cin, W) bf16  row-padded, W-on-lanes transpose
     off_ref  (1, 18, R, W)     f32   (dy, dx) interleaved per tap
     mask_ref (1, 9, R, W)      f32   post-sigmoid modulation
@@ -64,7 +113,7 @@ def _dcn_kernel(xt_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, *,
 
     out_acc = jnp.zeros((r_blk, w, cout), jnp.float32)
     rgrid = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 0) + r0
-    jgrid = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 1)
+    jgrid, seg_base = _seg_grids(r_blk, w, w_img)
 
     for t in range(9):
         ti, tj = t // 3, t % 3
@@ -85,16 +134,19 @@ def _dcn_kernel(xt_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, *,
         # corner validity (the CUDA sampler reads 0 strictly outside the map)
         vy0 = (y0 >= 0) & (y0 <= h - 1)
         vy1 = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)
-        vx0 = (x0 >= 0) & (x0 <= w - 1)
-        vx1 = (x0 + 1 >= 0) & (x0 + 1 <= w - 1)
+        vx0 = (x0 >= 0) & (x0 <= w_img - 1)
+        vx1 = (x0 + 1 >= 0) & (x0 + 1 <= w_img - 1)
 
         w00 = jnp.where(vy0 & vx0, (1 - fy) * (1 - fx) * m, 0.0)
         w01 = jnp.where(vy0 & vx1, (1 - fy) * fx * m, 0.0)
         w10 = jnp.where(vy1 & vx0, fy * (1 - fx) * m, 0.0)
         w11 = jnp.where(vy1 & vx1, fy * fx * m, 0.0)
 
-        x0c = jnp.clip(x0, 0, w - 1)
-        x1c = jnp.clip(x0 + 1, 0, w - 1)
+        x0c = jnp.clip(x0, 0, w_img - 1)
+        x1c = jnp.clip(x0 + 1, 0, w_img - 1)
+        if seg_base is not None:
+            x0c = x0c + seg_base
+            x1c = x1c + seg_base
         idx0 = jnp.broadcast_to(x0c[:, None, :], (r_blk, cin, w)
                                 ).reshape(r_blk * cin, w)
         idx1 = jnp.broadcast_to(x1c[:, None, :], (r_blk, cin, w)
@@ -173,6 +225,13 @@ def dcn_v2_pallas(
     h_pad = -(-h // r_blk) * r_blk
     extra = h_pad - h
 
+    # lane-pack small maps: pk images side by side on the 128-lane axis
+    pk = _pack_factor(b, w)
+    w_img, wl, bp = w, pk * w, b // pk
+    x = _pack_w(x, pk)
+    offset = _pack_w(offset, pk)
+    mask = _pack_w(mask, pk)
+
     # zero row padding covers every clamped shift; (H+2P, Cin, W) puts the
     # gatherable x-axis on lanes; bf16 staging halves VMEM
     xt = jnp.pad(
@@ -182,40 +241,43 @@ def dcn_v2_pallas(
 
     off_t = jnp.pad(offset.astype(jnp.float32),
                     ((0, 0), (0, extra), (0, 0), (0, 0))
-                    ).transpose(0, 3, 1, 2)  # (B,18,Hp,W)
+                    ).transpose(0, 3, 1, 2)  # (B',18,Hp,Wl)
     mask_t = jnp.pad(mask.astype(jnp.float32),
                      ((0, 0), (0, extra), (0, 0), (0, 0))
-                     ).transpose(0, 3, 1, 2)  # (B,9,Hp,W)
+                     ).transpose(0, 3, 1, 2)  # (B',9,Hp,Wl)
     w_taps = weight.reshape(9, cin, cout).astype(jnp.float32)
     bias_in = (bias if bias is not None
                else jnp.zeros((cout,), jnp.float32)).reshape(1, cout)
 
     kernel = functools.partial(
-        _dcn_kernel, h=h, w=w, cin=cin, cout=cout, pad_rows=pad_rows,
-        max_shift=max_shift, row_block=r_blk,
+        _dcn_kernel, h=h, w=wl, w_img=w_img, cin=cin, cout=cout,
+        pad_rows=pad_rows, max_shift=max_shift, row_block=r_blk,
     )
 
     out = pl.pallas_call(
         kernel,
-        grid=(b, h_pad // r_blk),
+        grid=(bp, h_pad // r_blk),
         in_specs=[
-            pl.BlockSpec((1, h_pad + 2 * pad_rows, cin, w),
+            pl.BlockSpec((1, h_pad + 2 * pad_rows, cin, wl),
                          lambda i, r: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 18, r_blk, w), lambda i, r: (i, 0, r, 0),
+            pl.BlockSpec((1, 18, r_blk, wl), lambda i, r: (i, 0, r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9, r_blk, w), lambda i, r: (i, 0, r, 0),
+            pl.BlockSpec((1, 9, r_blk, wl), lambda i, r: (i, 0, r, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, cin, cout), lambda i, r: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda i, r: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, r_blk, w, cout), lambda i, r: (i, r, 0, 0),
+        out_specs=pl.BlockSpec((1, r_blk, wl, cout),
+                               lambda i, r: (i, r, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h_pad, w, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bp, h_pad, wl, cout), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xt, off_t, mask_t, w_taps, bias_in)
-    return out[:, :h]
+    return _unpack_w(out, pk)[:, :h]
 
 
 
@@ -227,7 +289,7 @@ def dcn_v2_pallas(
 def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
                            doff_ref, dmask_ref, dw_out_ref,
                            dw_acc, v00, v01, v10, v11, *,
-                           h: int, w: int, cin: int, cout: int,
+                           h: int, w: int, w_img: int, cin: int, cout: int,
                            pad_rows: int, max_shift: int, row_block: int):
     """Gradients w.r.t. offset, mask and weight (source-centric).
 
@@ -249,7 +311,7 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
         dw_acc[:] = jnp.zeros_like(dw_acc)
 
     rgrid = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 0) + r0
-    jgrid = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 1)
+    jgrid, seg_base = _seg_grids(r_blk, w, w_img)
     g_blk = g_ref[0]  # (R, W, Cout)
 
     def bcast(a):
@@ -272,17 +334,20 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
         y0 = y0f.astype(jnp.int32)
         x0 = x0f.astype(jnp.int32)
 
-        val00 = ((y0 >= 0) & (y0 <= h - 1) & (x0 >= 0) & (x0 <= w - 1)
+        val00 = ((y0 >= 0) & (y0 <= h - 1) & (x0 >= 0) & (x0 <= w_img - 1)
                  ).astype(jnp.float32)
         val01 = ((y0 >= 0) & (y0 <= h - 1) & (x0 + 1 >= 0)
-                 & (x0 + 1 <= w - 1)).astype(jnp.float32)
+                 & (x0 + 1 <= w_img - 1)).astype(jnp.float32)
         val10 = ((y0 + 1 >= 0) & (y0 + 1 <= h - 1) & (x0 >= 0)
-                 & (x0 <= w - 1)).astype(jnp.float32)
+                 & (x0 <= w_img - 1)).astype(jnp.float32)
         val11 = ((y0 + 1 >= 0) & (y0 + 1 <= h - 1) & (x0 + 1 >= 0)
-                 & (x0 + 1 <= w - 1)).astype(jnp.float32)
+                 & (x0 + 1 <= w_img - 1)).astype(jnp.float32)
 
-        x0c = jnp.clip(x0, 0, w - 1)
-        x1c = jnp.clip(x0 + 1, 0, w - 1)
+        x0c = jnp.clip(x0, 0, w_img - 1)
+        x1c = jnp.clip(x0 + 1, 0, w_img - 1)
+        if seg_base is not None:
+            x0c = x0c + seg_base
+            x1c = x1c + seg_base
         idx0 = bcast(x0c)
         idx1 = bcast(x1c)
 
@@ -365,8 +430,9 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
 
 
 def _dcn_bwd_dx_kernel(off_ref, mask_ref, w_ref, g_ref, dx_ref, *,
-                       h: int, h_pad: int, w: int, cin: int, cout: int,
-                       pad_rows: int, max_shift: int, row_block: int):
+                       h: int, h_pad: int, w: int, w_img: int, cin: int,
+                       cout: int, pad_rows: int, max_shift: int,
+                       row_block: int):
     """Gradient w.r.t. the input feature map (destination-centric).
 
     Program (i, r) fully computes dx rows [r0, r0+R): for each shift ``d``
@@ -384,7 +450,7 @@ def _dcn_bwd_dx_kernel(off_ref, mask_ref, w_ref, g_ref, dx_ref, *,
     r0 = pl.program_id(1) * r_blk
     # pos index on dim 1: p^T[r, pos, j] = (x_idx[r, j] == pos)
     pos = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w, w), 1)
-    jgrid = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 1)
+    jgrid, seg_base = _seg_grids(r_blk, w, w_img)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 0)
 
     dx_acc = jnp.zeros((r_blk, w, cin), jnp.float32)
@@ -432,13 +498,13 @@ def _dcn_bwd_dx_kernel(off_ref, mask_ref, w_ref, g_ref, dx_ref, *,
 
             def compute(acc):
                 val00 = ((y0 >= 0) & (y0 <= h - 1) & (x0 >= 0)
-                         & (x0 <= w - 1)).astype(jnp.float32)
+                         & (x0 <= w_img - 1)).astype(jnp.float32)
                 val01 = ((y0 >= 0) & (y0 <= h - 1) & (x0 + 1 >= 0)
-                         & (x0 + 1 <= w - 1)).astype(jnp.float32)
+                         & (x0 + 1 <= w_img - 1)).astype(jnp.float32)
                 val10 = ((y0 + 1 >= 0) & (y0 + 1 <= h - 1) & (x0 >= 0)
-                         & (x0 <= w - 1)).astype(jnp.float32)
+                         & (x0 <= w_img - 1)).astype(jnp.float32)
                 val11 = ((y0 + 1 >= 0) & (y0 + 1 <= h - 1) & (x0 + 1 >= 0)
-                         & (x0 + 1 <= w - 1)).astype(jnp.float32)
+                         & (x0 + 1 <= w_img - 1)).astype(jnp.float32)
                 w00 = val00 * (1 - fy) * (1 - fx) * m
                 w01 = val01 * (1 - fy) * fx * m
                 w10 = val10 * fy * (1 - fx) * m
@@ -454,8 +520,11 @@ def _dcn_bwd_dx_kernel(off_ref, mask_ref, w_ref, g_ref, dx_ref, *,
                 a_w = sel0 * w00 + sel1 * w10
                 b_w = sel0 * w01 + sel1 * w11
 
-                x0c = jnp.clip(x0, 0, w - 1)
-                x1c = jnp.clip(x0 + 1, 0, w - 1)
+                x0c = jnp.clip(x0, 0, w_img - 1)
+                x1c = jnp.clip(x0 + 1, 0, w_img - 1)
+                if seg_base is not None:
+                    x0c = x0c + seg_base
+                    x1c = x1c + seg_base
                 # combined weighted scatter matrix (R, Wpos, Wj): the corner
                 # weights fold into the one-hot, so one matmul covers both
                 # x-corners and no weighted-cotangent temporaries are built
@@ -477,8 +546,8 @@ def _dcn_bwd_dx_kernel(off_ref, mask_ref, w_ref, g_ref, dx_ref, *,
 
 
 def _bwd_stage(x, offset, mask, weight, g, max_shift):
-    """Shared staging for the two backward kernels: row padding, the
-    W-on-lanes transpose, channel-major offset/mask layout."""
+    """Shared staging for the two backward kernels: lane packing, row
+    padding, the W-on-lanes transpose, channel-major offset/mask layout."""
     b, h, w, cin = x.shape
     _, _, _, cout = weight.shape
     pad_rows = max_shift + 2
@@ -488,6 +557,12 @@ def _bwd_stage(x, offset, mask, weight, g, max_shift):
     # zero contributions; outputs sliced back to h)
     h_pad = -(-h // r_blk) * r_blk
     extra = h_pad - h
+
+    pk = _pack_factor(b, w)
+    x = _pack_w(x, pk)
+    offset = _pack_w(offset, pk)
+    mask = _pack_w(mask, pk)
+    g = _pack_w(g, pk)
 
     xt = jnp.pad(
         x.astype(jnp.bfloat16),
@@ -502,8 +577,8 @@ def _bwd_stage(x, offset, mask, weight, g, max_shift):
     w_taps = weight.reshape(9, cin, cout).astype(jnp.float32)
     g = g.astype(jnp.float32)
     g_blk_in = jnp.pad(g, ((0, 0), (0, extra), (0, 0), (0, 0)))
-    dims = dict(b=b, h=h, w=w, cin=cin, cout=cout, pad_rows=pad_rows,
-                r_blk=r_blk, h_pad=h_pad)
+    dims = dict(b=b // pk, h=h, w=pk * w, w_img=w, pk=pk, cin=cin, cout=cout,
+                pad_rows=pad_rows, r_blk=r_blk, h_pad=h_pad)
     return xt, off_t, mask_t, w_taps, g_blk_in, dims
 
 
@@ -512,8 +587,8 @@ def _bwd_params_call(xt, off_t, mask_t, w_taps, g_blk_in, dims, max_shift,
     b, h, w, cin, cout = (dims[k] for k in ("b", "h", "w", "cin", "cout"))
     pad_rows, r_blk, h_pad = dims["pad_rows"], dims["r_blk"], dims["h_pad"]
     params_kernel = functools.partial(
-        _dcn_bwd_params_kernel, h=h, w=w, cin=cin, cout=cout,
-        pad_rows=pad_rows, max_shift=max_shift, row_block=r_blk,
+        _dcn_bwd_params_kernel, h=h, w=w, w_img=dims["w_img"], cin=cin,
+        cout=cout, pad_rows=pad_rows, max_shift=max_shift, row_block=r_blk,
     )
     doff_t, dmask_t, dw_b = pl.pallas_call(
         params_kernel,
@@ -550,6 +625,8 @@ def _bwd_params_call(xt, off_t, mask_t, w_taps, g_blk_in, dims, max_shift,
             pltpu.VMEM((r_blk * cin, w), jnp.float32),
             pltpu.VMEM((r_blk * cin, w), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xt, off_t, mask_t, w_taps, g_blk_in)
     return doff_t, dmask_t, dw_b
@@ -564,8 +641,9 @@ def _bwd_dx_call(off_t, mask_t, w_taps, g_blk_in, dims, max_shift, interpret):
                     ((0, 0), (pad_rows, pad_rows), (0, 0), (0, 0)))
 
     dx_kernel = functools.partial(
-        _dcn_bwd_dx_kernel, h=h, h_pad=h_pad, w=w, cin=cin, cout=cout,
-        pad_rows=pad_rows, max_shift=max_shift, row_block=r_blk,
+        _dcn_bwd_dx_kernel, h=h, h_pad=h_pad, w=w, w_img=dims["w_img"],
+        cin=cin, cout=cout, pad_rows=pad_rows, max_shift=max_shift,
+        row_block=r_blk,
     )
     dx_t = pl.pallas_call(
         dx_kernel,
@@ -639,9 +717,10 @@ def dcn_v2_pallas_bwd(
     dx_t = _bwd_dx_call(off_t, mask_t, w_taps, g_blk_in, dims, max_shift,
                         interpret)
 
-    dx = dx_t[:, :h].astype(x.dtype)
-    doff = doff_t[:, :, :h].transpose(0, 2, 3, 1)
-    dmask = dmask_t[:, :, :h].transpose(0, 2, 3, 1)
+    pk = dims["pk"]
+    dx = _unpack_w(dx_t, pk)[:, :h].astype(x.dtype)
+    doff = _unpack_w(doff_t.transpose(0, 2, 3, 1), pk)[:, :h]
+    dmask = _unpack_w(dmask_t.transpose(0, 2, 3, 1), pk)[:, :h]
     dweight = dw_b.sum(axis=0).reshape(3, 3, cin, cout).astype(weight.dtype)
     dbias = g_blk_in[:, :h].sum(axis=(0, 1, 2))
     return dx, doff, dmask, dweight, dbias

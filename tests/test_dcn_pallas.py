@@ -31,6 +31,31 @@ def test_matches_xla_within_clamp(rng):
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.parametrize("b,w", [(4, 32), (4, 20)])
+def test_lane_packed_small_maps(rng, b, w):
+    """W < 128 maps pack several images per lane row (``_pack_factor``);
+    forward and backward must still match the XLA reference, including a
+    non-power-of-two width (the 800px eval pyramid has W=25/50/100)."""
+    from centernet_uda_tpu.ops.dcn_pallas import _pack_factor, dcn_v2_pallas_bwd
+
+    assert _pack_factor(b, w) > 1
+    x, off, m, wgt, bias = make_inputs(rng, b=b, h=8, w=w, off_scale=1.5)
+    want = np.asarray(dcn_v2(x, off, m, wgt, bias))
+    got = np.asarray(dcn_v2_pallas(x, off, m, wgt, bias, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+    g = jnp.asarray(rng.randn(*want.shape).astype(np.float32))
+    offc = off.at[..., 0::2].set(jnp.clip(off[..., 0::2], -14, 14))
+    want_grads = jax.grad(
+        lambda *a: jnp.sum(dcn_v2(*a) * g), argnums=(0, 1, 2, 3, 4)
+    )(x, offc, m, wgt, bias)
+    got_grads = dcn_v2_pallas_bwd(x, off, m, wgt, g, interpret=True)
+    for name, gw, gg in zip(("dx", "doff", "dmask", "dw", "db"),
+                            want_grads, got_grads):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                                   atol=5e-2, rtol=5e-2, err_msg=name)
+
+
 def test_zero_offsets_exact_structure(rng):
     x, _, m, wgt, bias = make_inputs(rng)
     off = jnp.zeros((2, 16, 16, 18), jnp.float32)
@@ -83,7 +108,7 @@ def test_custom_vjp_backward_matches_clamped_xla(rng):
 
 def test_unsupported_shapes_fall_back(rng):
     """dcn_v2(use_pallas=True) silently uses XLA outside the envelope."""
-    b, h, w, cin, cout = 1, 8, 20, 4, 4  # W=20 < 32 -> XLA path
+    b, h, w, cin, cout = 1, 8, 132, 4, 4  # W=132 > 128 lanes -> XLA path
     x = jnp.asarray(rng.randn(b, h, w, cin).astype(np.float32))
     off = jnp.asarray((rng.randn(b, h, w, 18)).astype(np.float32))
     m = jnp.asarray(rng.rand(b, h, w, 9).astype(np.float32))

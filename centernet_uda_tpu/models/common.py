@@ -21,8 +21,100 @@ import jax.numpy as jnp
 BN_MOMENTUM = 0.9
 BN_EPS = 1e-5
 
+# process-wide BN statistics grouping (config key ``bn_sync``):
+#   1  = global-batch statistics (GSPMD all-reduces the moments; default)
+#   N  = per-contiguous-group statistics over N equal batch slices —
+#        with N = replica count this reproduces nn.DataParallel's per-GPU
+#        BN (utils/helper.py:75-80; SURVEY §7 hard part #4) because the
+#        batch axis is sharded contiguously, so each group IS one replica's
+#        slice and the moment reductions stay shard-local (no collectives).
+_BN_GROUPS = 1
 
-def batch_norm(train: bool, name: Optional[str] = None, dtype=jnp.float32) -> nn.BatchNorm:
+
+def set_bn_groups(value) -> None:
+    """Select BN statistics scope at trace time (config key ``bn_sync``:
+    "global" | "replica" | int group count)."""
+    global _BN_GROUPS
+    if isinstance(value, str):
+        v = value.lower()
+        if v == "global":
+            value = 1
+        elif v == "replica":
+            value = jax.device_count()
+        else:
+            raise ValueError(
+                f"bn_sync must be 'global', 'replica' or an int, got {value!r}"
+            )
+    _BN_GROUPS = max(int(value), 1)
+
+
+def get_bn_groups() -> int:
+    return _BN_GROUPS
+
+
+class GroupedBatchNorm(nn.Module):
+    """BatchNorm with statistics per contiguous batch group.
+
+    Variable layout (params.scale/bias, batch_stats.mean/var) matches
+    ``nn.BatchNorm`` exactly, so checkpoints and the torch-import shims
+    interop. Running stats are updated with the pooled (global) moments —
+    E[var_g] + Var[mean_g] — rather than the reference's device-0-only
+    update (a DataParallel artifact: replica buffers are discarded each
+    step); normalization, which is what shapes training dynamics, follows
+    the per-replica semantics.
+    """
+
+    groups: int
+    use_running_average: bool
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+
+        if self.use_running_average:
+            mean = ra_mean.value
+            var = ra_var.value
+            inv = jax.lax.rsqrt(var + self.epsilon) * scale
+            return (x.astype(jnp.float32) * inv + (bias - mean * inv)
+                    ).astype(self.dtype)
+
+        b = x.shape[0]
+        g = self.groups if b % self.groups == 0 else 1
+        xg = x.astype(jnp.float32).reshape(g, -1, c)
+        gmean = jnp.mean(xg, axis=1)                      # (G, C)
+        gvar = jnp.mean(jnp.square(xg), axis=1) - jnp.square(gmean)
+
+        pooled_mean = jnp.mean(gmean, axis=0)
+        pooled_var = (jnp.mean(gvar, axis=0)
+                      + jnp.mean(jnp.square(gmean - pooled_mean), axis=0))
+        if not self.is_initializing():
+            ra_mean.value = (self.momentum * ra_mean.value
+                             + (1 - self.momentum) * pooled_mean)
+            ra_var.value = (self.momentum * ra_var.value
+                            + (1 - self.momentum) * pooled_var)
+
+        inv = jax.lax.rsqrt(gvar + self.epsilon)[:, None, :] * scale
+        out = (xg - gmean[:, None, :]) * inv + bias
+        return out.reshape(x.shape).astype(self.dtype)
+
+
+def batch_norm(train: bool, name: Optional[str] = None, dtype=jnp.float32):
+    if _BN_GROUPS > 1:
+        return GroupedBatchNorm(
+            groups=_BN_GROUPS,
+            use_running_average=not train,
+            name=name,
+            dtype=dtype,
+        )
     return nn.BatchNorm(
         use_running_average=not train,
         momentum=BN_MOMENTUM,

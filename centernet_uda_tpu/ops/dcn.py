@@ -309,6 +309,16 @@ class DCN(nn.Module):
         # FLOPs for HBM.
         use_pallas = (self.use_pallas if self.use_pallas is not None
                       else _PALLAS_DEFAULT)
+        pallas_active = use_pallas and _pallas_supported(
+            x, jnp.zeros((kh, kw, cin, self.features)),
+            self.stride, self.padding, self.dilation)
+        if pallas_active:
+            # surface the vertical-offset magnitude so training can detect
+            # saturation of the Pallas clamp (collected into the step stats
+            # as ``dcn_max_abs_dy``; uda/base.py). Interleaved layout: even
+            # channels are dy.
+            self.sow("intermediates", "max_abs_dy",
+                     jnp.max(jnp.abs(offset[..., 0::2].astype(jnp.float32))))
         op = partial(
             dcn_v2,
             stride=self.stride,
@@ -316,9 +326,7 @@ class DCN(nn.Module):
             dilation=self.dilation,
             use_pallas=use_pallas,
         )
-        if not (use_pallas
-                and _pallas_supported(x, jnp.zeros((kh, kw, cin, self.features)),
-                                      self.stride, self.padding, self.dilation)):
+        if not pallas_active:
             # XLA path: rematerialize the 0.5 GB/layer column tensor in the
             # backward instead of storing it (the CUDA reference likewise
             # recomputes im2col, src/cuda/dcn_v2_cuda.cu:316-320). The Pallas

@@ -184,10 +184,11 @@ def _dcn_kernel(xt_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, *,
             jnp.zeros((r_blk * cin, w), jnp.float32),
         )
 
-        # (R, Cin, W) x (Cin, Cout), batched over rows -> MXU
+        # (R, Cin, W) x (Cin, Cout), batched over rows -> MXU (bf16 inputs,
+        # f32 accumulate: the samples were bf16-staged anyway)
         out_acc = out_acc + jax.lax.dot_general(
-            s.reshape(r_blk, cin, w),
-            w_ref[t],
+            s.astype(jnp.bfloat16).reshape(r_blk, cin, w),
+            w_ref[t].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -352,7 +353,8 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
         idx1 = bcast(x1c)
 
         gcol = jax.lax.dot_general(
-            g_blk, w_ref[t], (((2,), (1,)), ((), ())),
+            g_blk.astype(jnp.bfloat16), w_ref[t].astype(jnp.bfloat16),
+            (((2,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (R, W, Cin)
         gcol2 = jnp.swapaxes(gcol, 1, 2).reshape(r_blk * cin, w)
@@ -397,9 +399,9 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
         u = (w00b * v00[:] + w01b * v01[:] + w10b * v10[:] + w11b * v11[:])
 
         # dW[t] += sum_r s_t[r] (Cin, W) @ g[r] (W, Cout), batched on the MXU
-        s_t = (bcast(m) * u).reshape(r_blk, cin, w)
+        s_t = (bcast(m) * u).astype(jnp.bfloat16).reshape(r_blk, cin, w)
         dw_r = jax.lax.dot_general(
-            s_t, g_blk, (((2,), (1,)), ((0,), (0,))),
+            s_t, g_blk.astype(jnp.bfloat16), (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (R, Cin, Cout)
         dw_acc[t] = dw_acc[t] + jnp.sum(dw_r, axis=0)

@@ -102,9 +102,13 @@ def build_trainer(cfg):
 
         backend_params.setdefault("dtype", jnp.bfloat16)
 
+    from centernet_uda_tpu.models import common as model_common
     from centernet_uda_tpu.ops import dcn as dcn_ops
 
     dcn_ops.set_pallas_default(cfg.get("dcn_impl", "auto"))
+    # BN statistics scope (SURVEY §7 hard part #4): "global" (default) or
+    # "replica" to reproduce DataParallel's per-GPU BN for mAP comparisons
+    model_common.set_bn_groups(cfg.get("bn_sync", "global"))
     backend = model_registry.build(cfg.model.backend.name, **backend_params)
 
     uda_cfg = cfg.model.get("uda")
@@ -171,11 +175,14 @@ def _should_auto_mesh(batch_size: int) -> bool:
 
 def _run_phase(trainer, loader, evaluators, tb_logger, stats, epoch, tag,
                is_training, profile_steps=0):
+    from centernet_uda_tpu.ops import dcn as dcn_ops
+
     trainer.set_phase(is_training)
     n_batches = 0
     t0 = time.time()
     n_images = 0
     profiling = False
+    clamp_warned = False
     for data in loader:
         # jax.profiler trace of the first N train steps of the first epoch
         # (SURVEY §5: the reference has no tracing at all)
@@ -202,8 +209,17 @@ def _run_phase(trainer, loader, evaluators, tb_logger, stats, epoch, tag,
             meter = stats.get(log_key)
             if not isinstance(meter, AverageMeter):
                 meter = AverageMeter(name=k)
-            meter.update(float(v), len(data["input"]))
+            value = float(v)
+            meter.update(value, len(data["input"]))
             stats[log_key] = meter
+            if (k == "dcn_max_abs_dy" and not clamp_warned
+                    and value >= 0.9 * dcn_ops.PALLAS_MAX_SHIFT):
+                clamp_warned = True
+                log.warning(
+                    "DCN vertical offsets reached %.1f px — within 10%% of "
+                    "the Pallas clamp (max_shift=%d). Accuracy may silently "
+                    "truncate; consider dcn_impl=xla (exact, unbounded) for "
+                    "this run.", value, dcn_ops.PALLAS_MAX_SHIFT)
 
         if not is_training:
             detections = trainer.get_detections(outputs, data)

@@ -150,8 +150,15 @@ class Model:
         rngs = {"dropout": rng} if (train and rng is not None) else None
         if train and batch_stats:
             outputs, new_state = self.backend.module.apply(
-                variables, x, train=True, mutable=["batch_stats"], rngs=rngs
+                variables, x, train=True,
+                mutable=["batch_stats", "intermediates"], rngs=rngs
             )
+            sown = jax.tree.leaves(new_state.get("intermediates", {}))
+            if sown:
+                # max |dy| across all Pallas DCN layers (clamp monitoring,
+                # ops/dcn.py DCN.__call__)
+                outputs = dict(outputs)
+                outputs["_dcn_max_abs_dy"] = jnp.max(jnp.stack(sown))
             return outputs, new_state["batch_stats"]
         outputs = self.backend.module.apply(variables, x, train=False)
         return outputs, batch_stats
@@ -274,6 +281,17 @@ class Model:
         else:
             outputs, stats = self._eval_step(self.state, batch)
         outputs = dict(outputs)
+        # hoist the DCN clamp monitor (sown per domain forward) into stats
+        clamp = []
+        for key, dom in list(outputs.items()):
+            if isinstance(dom, dict) and "_dcn_max_abs_dy" in dom:
+                dom = dict(dom)
+                clamp.append(dom.pop("_dcn_max_abs_dy"))
+                outputs[key] = dom
+        if clamp:
+            stats = dict(stats)
+            stats["dcn_max_abs_dy"] = (clamp[0] if len(clamp) == 1
+                                       else jnp.max(jnp.stack(clamp)))
         outputs["stats"] = stats
         return outputs
 

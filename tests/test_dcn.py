@@ -169,3 +169,28 @@ def test_dcn_module_jit_and_grad(rng):
     assert all(np.isfinite(np.asarray(g)).all() for g in flat)
     # weight grad must be nonzero
     assert float(jnp.abs(grads["weight"]).sum()) > 0
+
+
+def test_dcn_module_sows_offset_monitor(rng):
+    """With the Pallas path active the module sows max |dy| for clamp
+    monitoring (collected into step stats as ``dcn_max_abs_dy``)."""
+    from unittest import mock
+
+    import centernet_uda_tpu.ops.dcn as dcn_mod
+
+    x = jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32))
+    module = dcn_mod.DCN(features=8, use_pallas=True)
+
+    orig = dcn_mod.dcn_v2
+
+    def xla_only(*args, **kwargs):
+        kwargs["use_pallas"] = False
+        return orig(*args, **kwargs)
+
+    with mock.patch.object(dcn_mod, "dcn_v2", xla_only):
+        variables = module.init(jax.random.PRNGKey(0), x)
+        _, state = module.apply(variables, x, mutable=["intermediates"])
+    leaves = jax.tree.leaves(state["intermediates"])
+    assert len(leaves) == 1
+    # conv_offset_mask is zero-initialized -> zero offsets
+    assert float(leaves[0]) == 0.0

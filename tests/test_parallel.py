@@ -61,3 +61,59 @@ def test_sharded_matches_single_device():
     p2 = jax.tree.leaves(t2.state.params)
     for a, b in zip(p1, p2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_grouped_batch_norm_matches_per_replica_stats():
+    """bn_sync=replica (GroupedBatchNorm) must equal running nn.BatchNorm
+    independently on each contiguous batch slice — DataParallel's per-GPU
+    BN semantics (ref utils/helper.py:75-80)."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from centernet_uda_tpu.models.common import GroupedBatchNorm
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(8, 4, 4, 3).astype(np.float32))
+
+    gbn = GroupedBatchNorm(groups=2, use_running_average=False)
+    vars_g = gbn.init(jax.random.PRNGKey(0), x)
+    out_g, upd = gbn.apply(vars_g, x, mutable=["batch_stats"])
+
+    bn = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+    vars_b = bn.init(jax.random.PRNGKey(0), x[:4])
+    out_a, _ = bn.apply(vars_b, x[:4], mutable=["batch_stats"])
+    out_b, _ = bn.apply(vars_b, x[4:], mutable=["batch_stats"])
+
+    np.testing.assert_allclose(np.asarray(out_g[:4]), np.asarray(out_a),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_g[4:]), np.asarray(out_b),
+                               atol=1e-5)
+
+    # running stats pool to the exact global moments
+    flat = np.asarray(x).reshape(-1, 3)
+    want_mean = 0.1 * flat.mean(0)
+    want_var = 1.0 * 0.9 + 0.1 * flat.var(0)
+    np.testing.assert_allclose(np.asarray(upd["batch_stats"]["mean"]),
+                               want_mean, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(upd["batch_stats"]["var"]),
+                               want_var, atol=1e-5)
+
+
+def test_bn_sync_flag_builds_and_trains():
+    """bn_sync=replica end-to-end: one step trains with finite loss."""
+    import __graft_entry__ as ge
+    from centernet_uda_tpu.models import common as model_common
+
+    model_common.set_bn_groups(2)
+    try:
+        t = ge._build_trainer(batch_size=4, input_size=64,
+                              backend_name="resnet",
+                              backend_params={"num_layers": 18,
+                                              "num_classes": 6,
+                                              "pretrained": False})
+        t.init_done()
+        batch = ge._tiny_batch(4, 64)
+        out = t.step(batch, is_training=True)
+        assert np.isfinite(float(out["stats"]["total_loss"]))
+    finally:
+        model_common.set_bn_groups(1)

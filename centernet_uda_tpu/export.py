@@ -108,6 +108,28 @@ def export_stablehlo(serve_fn, input_shape, out_path: Path) -> Path:
     return out_path
 
 
+def export_optimized_hlo(serve_fn, input_shape, out_path: Path) -> Path:
+    """Serialize the XLA-optimized HLO — the ``_smpl`` analog.
+
+    The reference runs onnx-simplifier over the exported graph
+    (``export.py:113-132``, ``*_smpl.onnx``). onnx/tf2onnx/onnxsim are not
+    installable in this image (see PARITY.md), so the equivalent
+    "optimized for deployment" artifact here is the post-optimization HLO
+    from the XLA pipeline itself: constant folding, fusion and layout
+    assignment already applied for the compiling backend.
+    """
+    lowered = jax.jit(serve_fn).lower(
+        jax.ShapeDtypeStruct(input_shape, jnp.float32)
+    )
+    compiled = lowered.compile()
+    text = compiled.as_text()
+    out_path = out_path.with_suffix(".opt.hlo")
+    out_path.write_text(text)
+    log.info("wrote %s (%d bytes, optimized for %s)", out_path, len(text),
+             jax.devices()[0].platform)
+    return out_path
+
+
 def export_savedmodel(serve_fn, input_shape, out_path: Path) -> Optional[Path]:
     """Optional TF SavedModel via jax2tf (for TFLite/TF-Serving pipelines)."""
     try:
@@ -148,6 +170,8 @@ def export_model(cfg, checkpoint_path: str, input_size, max_detections: int,
     artifacts = []
     if "stablehlo" in formats:
         artifacts.append(export_stablehlo(serve, input_shape, base))
+    if "opthlo" in formats:
+        artifacts.append(export_optimized_hlo(serve, input_shape, base))
     if "savedmodel" in formats:
         path = export_savedmodel(serve, input_shape, base)
         if path:
@@ -172,7 +196,7 @@ def main(argv=None):
     parser.add_argument("--max-detections", type=int, default=100)
     parser.add_argument("--formats", nargs="+",
                         default=["stablehlo", "savedmodel"],
-                        choices=["stablehlo", "savedmodel"])
+                        choices=["stablehlo", "opthlo", "savedmodel"])
     parser.add_argument("--outputs-dir", default="outputs")
     args = parser.parse_args(argv)
 

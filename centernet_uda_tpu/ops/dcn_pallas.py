@@ -288,19 +288,24 @@ def dcn_v2_pallas(
 
 
 def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
-                           doff_ref, dmask_ref, dw_out_ref,
-                           dw_acc, v00, v01, v10, v11, *,
+                           doff_ref, dmask_ref, dw_out_ref, dxp_ref,
+                           dw_acc, v00, v01, v10, v11, dx_band, *,
                            h: int, w: int, w_img: int, cin: int, cout: int,
                            pad_rows: int, max_shift: int, row_block: int):
-    """Gradients w.r.t. offset, mask and weight (source-centric).
+    """All gradients in ONE source-centric pass.
 
     Recomputes the forward sampling per output-row block, accumulating the
     four bilinear corner values, then forms:
       dW[t]    = sum (m*u) x g            (MXU)
       dmask[t] = sum_c u . gcol
       doff     = m * sum_c (corner-weight derivative combos) . gcol
-    with gcol = g @ W_t^T. Layouts as in the forward kernel; g_ref is the
-    (1, R, W, Cout) cotangent block.
+      dx       = per-(tap, shift) weighted x-scatter of gcol (one-hot
+                 batched matmul on the MXU) into an OVERLAPPING row band
+                 [r0-P, r0+R+P) — sources in this block can only write
+                 there; the caller sums the shifted band partials.
+    with gcol = g @ W_t^T computed once per tap and shared by all four.
+    Layouts as in the forward kernel; g_ref is the (1, R, W, Cout)
+    cotangent block; dxp_ref the (1, 1, R+2P, W, Cin) dx partial.
     """
     r_blk = row_block
     rb = pl.program_id(1)
@@ -311,8 +316,11 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
     def _init():
         dw_acc[:] = jnp.zeros_like(dw_acc)
 
+    dx_band[:] = jnp.zeros_like(dx_band)
     rgrid = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 0) + r0
     jgrid, seg_base = _seg_grids(r_blk, w, w_img)
+    # pos index on dim 1 for the x-scatter: S[r, pos, j] = (x_idx[r,j]==pos)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w, w), 1)
     g_blk = g_ref[0]  # (R, W, Cout)
 
     def bcast(a):
@@ -368,6 +376,13 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
         v10[:] = jnp.zeros_like(v10)
         v11[:] = jnp.zeros_like(v11)
 
+        # corner weights incl. modulation, for the dx scatter
+        w00s = val00 * (1 - fy) * (1 - fx) * m
+        w01s = val01 * (1 - fy) * fx * m
+        w10s = val10 * fy * (1 - fx) * m
+        w11s = val11 * fy * fx * m
+        gcol_b = gcol.astype(jnp.bfloat16)
+
         def shift_body(d, carry):
             sel0 = (rel == d).astype(jnp.float32)
             sel1 = (rel + 1 == d).astype(jnp.float32)
@@ -385,6 +400,21 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
                 v01[:] = v01[:] + s0b * g1
                 v10[:] = v10[:] + s1b * g0
                 v11[:] = v11[:] + s1b * g1
+
+                # dx: sources at shift d write input rows r0+d+[0,R) ==
+                # band rows P+d+[0,R). Corner weights fold into the one-hot
+                # so one batched matmul scatters both x-corners.
+                a_w = sel0 * w00s + sel1 * w10s
+                b_w = sel0 * w01s + sel1 * w11s
+                s_w = (jnp.where(x0c[:, None, :] == pos, a_w[:, None, :], 0.0)
+                       + jnp.where(x1c[:, None, :] == pos,
+                                   b_w[:, None, :], 0.0)).astype(jnp.bfloat16)
+                contrib = jax.lax.dot_general(
+                    s_w, gcol_b, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # (R, Wpos, Cin)
+                dx_band[pl.ds(pad_rows + d, r_blk)] = (
+                    dx_band[pl.ds(pad_rows + d, r_blk)] + contrib)
 
             return carry
 
@@ -426,130 +456,16 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
         doff_ref[0, 2 * t] = doff_y
         doff_ref[0, 2 * t + 1] = doff_x
 
+    dxp_ref[0, 0] = dx_band[:]
+
     @pl.when(rb == n_rb - 1)
     def _finalize():
         dw_out_ref[0] = dw_acc[:]
 
 
-def _dcn_bwd_dx_kernel(off_ref, mask_ref, w_ref, g_ref, dx_ref, *,
-                       h: int, h_pad: int, w: int, w_img: int, cin: int,
-                       cout: int, pad_rows: int, max_shift: int,
-                       row_block: int):
-    """Gradient w.r.t. the input feature map (destination-centric).
-
-    Program (i, r) fully computes dx rows [r0, r0+R): for each shift ``d``
-    the contributing *source* output rows are [r0-d, r0+R-d); their
-    selection masks, bilinear weights and ``gcol = g @ W_t^T`` are
-    recomputed from the (row-padded) offset/mask/cotangent, and the
-    per-pixel x-position scatter becomes a one-hot batched matmul on the
-    MXU. No feature values are needed, so this kernel does no gathers.
-
-    Layouts: off (1, 18, H+2P, W), mask (1, 9, H+2P, W) zero-padded;
-    g (1, H+2P, W, Cout) bf16 zero-padded; dx_ref (1, R, W, Cin) f32
-    (native NHWC, no transposes anywhere in this kernel).
-    """
-    r_blk = row_block
-    r0 = pl.program_id(1) * r_blk
-    # pos index on dim 1: p^T[r, pos, j] = (x_idx[r, j] == pos)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w, w), 1)
-    jgrid, seg_base = _seg_grids(r_blk, w, w_img)
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 0)
-
-    dx_acc = jnp.zeros((r_blk, w, cin), jnp.float32)
-    # only source rows in [r0-P, r0+R+P) can write into this block (|rel| is
-    # structurally <= P = max_shift+2); padded index of that band = [r0, ...)
-    band = r_blk + 2 * pad_rows
-    rgrid_band = (jax.lax.broadcasted_iota(jnp.int32, (band, w), 0)
-                  + (r0 - pad_rows))
-
-    for t in range(9):
-        ti, tj = t // 3, t % 3
-
-        # dynamic shift range from the local band's offset field: only
-        # displacements that occur near this block are visited (zero-padded
-        # rows contribute rel = ti-1, widening the range by at most 1)
-        off_y_band = jnp.clip(off_ref[0, 2 * t, pl.ds(r0, band)],
-                              -max_shift, max_shift)
-        py_band = rgrid_band.astype(jnp.float32) + (ti - 1) + off_y_band
-        rel_band = jnp.floor(py_band).astype(jnp.int32) - rgrid_band
-        d_lo = jnp.maximum(jnp.min(rel_band), -max_shift - 2)
-        d_hi = jnp.minimum(jnp.max(rel_band) + 1, max_shift + 2)
-
-        def shift_body(d, acc):
-            # source output rows rs = r0 - d + [0, R); padded index rs + P
-            src_row = r0 - d + pad_rows
-            off_y = jnp.clip(off_ref[0, 2 * t, pl.ds(src_row, r_blk)],
-                             -max_shift, max_shift)
-            off_x = off_ref[0, 2 * t + 1, pl.ds(src_row, r_blk)]
-            m = mask_ref[0, t, pl.ds(src_row, r_blk)]
-
-            rs_grid = iota_r + (r0 - d)
-            py = rs_grid.astype(jnp.float32) + (ti - 1) + off_y
-            px = jgrid.astype(jnp.float32) + (tj - 1) + off_x
-            y0f = jnp.floor(py)
-            x0f = jnp.floor(px)
-            fy = py - y0f
-            fx = px - x0f
-            y0 = y0f.astype(jnp.int32)
-            x0 = x0f.astype(jnp.int32)
-
-            rel = y0 - rs_grid
-            sel0 = (rel == d).astype(jnp.float32)
-            sel1 = (rel + 1 == d).astype(jnp.float32)
-            any_active = jnp.any((sel0 + sel1) > 0)
-
-            def compute(acc):
-                val00 = ((y0 >= 0) & (y0 <= h - 1) & (x0 >= 0)
-                         & (x0 <= w_img - 1)).astype(jnp.float32)
-                val01 = ((y0 >= 0) & (y0 <= h - 1) & (x0 + 1 >= 0)
-                         & (x0 + 1 <= w_img - 1)).astype(jnp.float32)
-                val10 = ((y0 + 1 >= 0) & (y0 + 1 <= h - 1) & (x0 >= 0)
-                         & (x0 <= w_img - 1)).astype(jnp.float32)
-                val11 = ((y0 + 1 >= 0) & (y0 + 1 <= h - 1) & (x0 + 1 >= 0)
-                         & (x0 + 1 <= w_img - 1)).astype(jnp.float32)
-                w00 = val00 * (1 - fy) * (1 - fx) * m
-                w01 = val01 * (1 - fy) * fx * m
-                w10 = val10 * fy * (1 - fx) * m
-                w11 = val11 * fy * fx * m
-
-                g_s = g_ref[0, pl.ds(src_row, r_blk)]
-                gcol = jax.lax.dot_general(
-                    g_s, w_ref[t].astype(jnp.bfloat16),
-                    (((2,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).astype(jnp.bfloat16)  # (R, W_j, Cin)
-
-                a_w = sel0 * w00 + sel1 * w10
-                b_w = sel0 * w01 + sel1 * w11
-
-                x0c = jnp.clip(x0, 0, w_img - 1)
-                x1c = jnp.clip(x0 + 1, 0, w_img - 1)
-                if seg_base is not None:
-                    x0c = x0c + seg_base
-                    x1c = x1c + seg_base
-                # combined weighted scatter matrix (R, Wpos, Wj): the corner
-                # weights fold into the one-hot, so one matmul covers both
-                # x-corners and no weighted-cotangent temporaries are built
-                s_w = (jnp.where(x0c[:, None, :] == pos, a_w[:, None, :], 0.0)
-                       + jnp.where(x1c[:, None, :] == pos, b_w[:, None, :],
-                                   0.0)).astype(jnp.bfloat16)
-                # dx[r, pos, c] += sum_j S[r, pos, j] * gcol[r, j, c]
-                return acc + jax.lax.dot_general(
-                    s_w, gcol,
-                    (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                )
-
-            return jax.lax.cond(any_active, compute, lambda a: a, acc)
-
-        dx_acc = jax.lax.fori_loop(d_lo, d_hi + 1, shift_body, dx_acc)
-
-    dx_ref[0] = dx_acc
-
-
 def _bwd_stage(x, offset, mask, weight, g, max_shift):
-    """Shared staging for the two backward kernels: lane packing, row
-    padding, the W-on-lanes transpose, channel-major offset/mask layout."""
+    """Staging for the backward kernel: lane packing, row padding, the
+    W-on-lanes transpose, channel-major offset/mask layout."""
     b, h, w, cin = x.shape
     _, _, _, cout = weight.shape
     pad_rows = max_shift + 2
@@ -592,7 +508,8 @@ def _bwd_params_call(xt, off_t, mask_t, w_taps, g_blk_in, dims, max_shift,
         _dcn_bwd_params_kernel, h=h, w=w, w_img=dims["w_img"], cin=cin,
         cout=cout, pad_rows=pad_rows, max_shift=max_shift, row_block=r_blk,
     )
-    doff_t, dmask_t, dw_b = pl.pallas_call(
+    band = r_blk + 2 * pad_rows
+    doff_t, dmask_t, dw_b, dx_part = pl.pallas_call(
         params_kernel,
         grid=(b, h_pad // r_blk),
         in_specs=[
@@ -614,11 +531,16 @@ def _bwd_params_call(xt, off_t, mask_t, w_taps, g_blk_in, dims, max_shift,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 9, cin, cout), lambda i, r: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, band, w, cin),
+                         lambda i, r: (i, r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, 18, h_pad, w), jnp.float32),
             jax.ShapeDtypeStruct((b, 9, h_pad, w), jnp.float32),
             jax.ShapeDtypeStruct((b, 9, cin, cout), jnp.float32),
+            jax.ShapeDtypeStruct((b, h_pad // r_blk, band, w, cin),
+                                 jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((9, cin, cout), jnp.float32),
@@ -626,70 +548,21 @@ def _bwd_params_call(xt, off_t, mask_t, w_taps, g_blk_in, dims, max_shift,
             pltpu.VMEM((r_blk * cin, w), jnp.float32),
             pltpu.VMEM((r_blk * cin, w), jnp.float32),
             pltpu.VMEM((r_blk * cin, w), jnp.float32),
+            pltpu.VMEM((band, w, cin), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xt, off_t, mask_t, w_taps, g_blk_in)
-    return doff_t, dmask_t, dw_b
 
-
-def _bwd_dx_call(off_t, mask_t, w_taps, g_blk_in, dims, max_shift, interpret):
-    b, h, w, cin, cout = (dims[k] for k in ("b", "h", "w", "cin", "cout"))
-    pad_rows, r_blk, h_pad = dims["pad_rows"], dims["r_blk"], dims["h_pad"]
-    off_pad = jnp.pad(off_t, ((0, 0), (0, 0), (pad_rows, pad_rows), (0, 0)))
-    mask_pad = jnp.pad(mask_t, ((0, 0), (0, 0), (pad_rows, pad_rows), (0, 0)))
-    g_pad = jnp.pad(g_blk_in.astype(jnp.bfloat16),
-                    ((0, 0), (pad_rows, pad_rows), (0, 0), (0, 0)))
-
-    dx_kernel = functools.partial(
-        _dcn_bwd_dx_kernel, h=h, h_pad=h_pad, w=w, w_img=dims["w_img"],
-        cin=cin, cout=cout, pad_rows=pad_rows, max_shift=max_shift,
-        row_block=r_blk,
-    )
-    dx_t = pl.pallas_call(
-        dx_kernel,
-        grid=(b, h_pad // r_blk),
-        in_specs=[
-            pl.BlockSpec((1, 18, h_pad + 2 * pad_rows, w),
-                         lambda i, r: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9, h_pad + 2 * pad_rows, w),
-                         lambda i, r: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, cin, cout), lambda i, r: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h_pad + 2 * pad_rows, w, cout),
-                         lambda i, r: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, r_blk, w, cin), lambda i, r: (i, r, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h_pad, w, cin), jnp.float32),
-        # whole-image off/mask/g refs are double-buffered across the grid;
-        # allow the compiler past the default 16M scoped budget
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(off_pad, mask_pad, w_taps, g_pad)
-    return dx_t
-
-
-@functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
-def dcn_v2_pallas_bwd_params(x, offset, mask, weight, g, max_shift: int = 14,
-                             interpret: bool = False):
-    """(doffset, dmask, dweight) alone — microbenchmark entry."""
-    xt, off_t, mask_t, w_taps, g_blk_in, dims = _bwd_stage(
-        x, offset, mask, weight, g, max_shift)
-    return _bwd_params_call(xt, off_t, mask_t, w_taps, g_blk_in, dims,
-                            max_shift, interpret)
-
-
-@functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
-def dcn_v2_pallas_bwd_dx(x, offset, mask, weight, g, max_shift: int = 14,
-                         interpret: bool = False):
-    """dx alone — microbenchmark entry."""
-    xt, off_t, mask_t, w_taps, g_blk_in, dims = _bwd_stage(
-        x, offset, mask, weight, g, max_shift)
-    return _bwd_dx_call(off_t, mask_t, w_taps, g_blk_in, dims, max_shift,
-                        interpret)
+    # sum the overlapping per-block dx bands: block r covers padded rows
+    # [r*R, r*R + band) of a (h_pad + 2P)-row canvas
+    nblk = h_pad // r_blk
+    full = jnp.zeros((b, h_pad + 2 * pad_rows, w, cin), jnp.float32)
+    for k in range(nblk):
+        full = full.at[:, k * r_blk:k * r_blk + band].add(dx_part[:, k])
+    dx_t = full[:, pad_rows:pad_rows + h_pad]
+    return doff_t, dmask_t, dw_b, dx_t
 
 
 @functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
@@ -706,18 +579,19 @@ def dcn_v2_pallas_bwd(
 
     Matches the analytic CUDA backward semantics (col2im / col2im_coord,
     src/cuda/dcn_v2_im2col_cuda.cu:197-330) under the same vertical-offset
-    clamp as the Pallas forward. Two fused kernels: a source-centric pass
-    for (doffset, dmask, dweight) and a gather-free destination-centric
-    pass for dx.
+    clamp as the Pallas forward. ONE fused source-centric kernel produces
+    all gradients — the recomputed sampling weights and the per-tap
+    ``gcol = g @ W_t^T`` are shared between (doffset, dmask, dweight) and
+    the dx x-scatter, which lands in overlapping row-band partials summed
+    here (TPUs have no cheap atomics; the band sum replaces col2im's
+    atomicAdd).
     """
     h, cin = x.shape[1], x.shape[3]
     cout = weight.shape[3]
     xt, off_t, mask_t, w_taps, g_blk_in, dims = _bwd_stage(
         x, offset, mask, weight, g, max_shift)
-    doff_t, dmask_t, dw_b = _bwd_params_call(
+    doff_t, dmask_t, dw_b, dx_t = _bwd_params_call(
         xt, off_t, mask_t, w_taps, g_blk_in, dims, max_shift, interpret)
-    dx_t = _bwd_dx_call(off_t, mask_t, w_taps, g_blk_in, dims, max_shift,
-                        interpret)
 
     pk = dims["pk"]
     dx = _unpack_w(dx_t, pk)[:, :h].astype(x.dtype)

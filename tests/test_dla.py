@@ -96,3 +96,31 @@ def test_dla_train_step_grads():
     # the DCN weight path
     total = sum(float(jnp.abs(g).sum()) for g in leaves)
     assert total > 0
+
+
+def test_s2d_stem_matches_plain_stem():
+    """The space-to-depth stem is an exact rewrite: identical param tree
+    and identical outputs (float-assoc noise only) in eval and train."""
+    from centernet_uda_tpu.models.dla import DLATrunk
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    t_plain = DLATrunk(stem_s2d=False)
+    t_s2d = DLATrunk(stem_s2d=True)
+
+    v = t_plain.init(jax.random.PRNGKey(0), x, train=False)
+    v2 = t_s2d.init(jax.random.PRNGKey(0), x, train=False)
+    assert (jax.tree.map(lambda a: a.shape, v["params"])
+            == jax.tree.map(lambda a: a.shape, v2["params"]))
+
+    out_a = t_plain.apply(v, x, train=False)
+    out_b = t_s2d.apply(v, x, train=False)
+    for a, b in zip(out_a, out_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    out_a2, st_a = t_plain.apply(v, x, train=True, mutable=["batch_stats"])
+    out_b2, st_b = t_s2d.apply(v, x, train=True, mutable=["batch_stats"])
+    for a, b in zip(jax.tree.leaves(st_a), jax.tree.leaves(st_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    for a, b in zip(out_a2, out_b2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)

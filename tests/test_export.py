@@ -58,3 +58,14 @@ def test_stablehlo_roundtrip(tmp_path, backend_state):
     for a, b in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_optimized_hlo_artifact(tmp_path, backend_state):
+    """The _smpl analog: post-optimization HLO text for this backend."""
+    from centernet_uda_tpu.export import export_optimized_hlo
+
+    backend, state = backend_state
+    serve = make_serving_fn(backend, state, (64, 64), max_detections=5)
+    path = export_optimized_hlo(serve, (1, 64, 64, 3), tmp_path / "model")
+    assert path.suffix == ".hlo" and path.stat().st_size > 0
+    assert "HloModule" in path.read_text()[:200]

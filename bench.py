@@ -21,6 +21,9 @@ import numpy as np
 
 
 def main():
+    # persistent XLA/Mosaic compile cache: the DCN kernels compile slowly
+    # through the remote-compile tunnel; cache hits make re-runs start fast
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
     import jax
 
     backend_name = os.environ.get("BENCH_BACKEND", "dla")
@@ -108,6 +111,23 @@ def main():
     infer_dt = time.perf_counter() - t0
     infer_ips = batch_size * steps / infer_dt
 
+    # --- 800px eval-resolution inference (configs/defaults.yaml:67) ------
+    # the reference validates at 800x800; the stride-4 DCN layers run at
+    # W=200 through the panel-tiled Pallas path (ops/dcn_pallas.py)
+    infer800_ips = None
+    if os.environ.get("BENCH_800", "1") == "1" and backend_name == "dla":
+        b800 = max(batch_size // 2, 1)
+        x800 = jnp.asarray(
+            np.random.RandomState(0)
+            .randn(b800, 800, 800, 3).astype(np.float32))
+        dets = infer(state.params, state.batch_stats, x800)
+        sync(dets)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            dets = infer(state.params, state.batch_stats, x800)
+        sync(dets)
+        infer800_ips = b800 * steps / (time.perf_counter() - t0)
+
     # --- decode p50 latency (the fused XLA decode alone) -----------------
     hm_only = jax.jit(lambda hm, wh, reg: decode_detections(
         hm, wh, reg, k=100, apply_sigmoid=True))
@@ -139,6 +159,8 @@ def main():
         "detail": {
             "train_images_per_sec": round(train_ips, 2),
             "infer_images_per_sec": round(infer_ips, 2),
+            "infer_800px_images_per_sec": (
+                round(infer800_ips, 2) if infer800_ips else None),
             "decode_p50_ms_batch": round(decode_p50_ms, 3),
             "batch_size": batch_size,
             "devices": n_chips,

@@ -31,6 +31,26 @@ def collate(samples) -> Dict[str, np.ndarray]:
     return batch
 
 
+# fork-inherited dataset for process workers (set right before the fork;
+# children reference it without any pickling)
+_PROC_DATASET = None
+
+
+def _proc_init():
+    # keep cv2 from spawning a thread pool inside every worker process
+    # (the reference guards the same way, datasets/coco.py:19)
+    try:
+        import cv2
+
+        cv2.setNumThreads(0)
+    except Exception:
+        pass
+
+
+def _proc_get(idx: int):
+    return _PROC_DATASET[int(idx)]
+
+
 class DataLoader:
     def __init__(
         self,
@@ -43,11 +63,17 @@ class DataLoader:
         seed: int = 0,
         shard_id: int = 0,
         num_shards: int = 1,
+        worker_mode: str = "thread",
     ):
         """``batch_size`` is the PER-HOST batch. For multi-host training pass
         ``shard_id=jax.process_index()`` / ``num_shards=jax.process_count()``:
         every host then iterates a disjoint, same-length slice of each
-        (identically shuffled) epoch permutation."""
+        (identically shuffled) epoch permutation.
+
+        ``worker_mode``: "thread" (default; cv2/numpy release the GIL for
+        the heavy work) or "process" (forked worker pool — the reference's
+        ``DataLoader(num_workers)`` model, train.py:30-35 — for pipelines
+        whose Python-side augmentation contends on the GIL)."""
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = bool(shuffle)
@@ -57,6 +83,10 @@ class DataLoader:
         self.rng = np.random.RandomState(seed)
         self.shard_id = int(shard_id)
         self.num_shards = int(num_shards)
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(f"worker_mode must be thread|process, "
+                             f"got {worker_mode!r}")
+        self.worker_mode = worker_mode
 
     def _shard_indices(self):
         indices = np.arange(len(self.dataset))
@@ -103,32 +133,50 @@ class DataLoader:
             return False
 
         def producer():
+            global _PROC_DATASET
+            pool = None
             try:
-                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                    pending = []
-                    for idx_batch in self._index_batches():
-                        if stop.is_set():
-                            return
-                        futures = [
-                            pool.submit(self.dataset.__getitem__, int(i))
-                            for i in idx_batch
-                        ]
-                        pending.append(futures)
-                        # keep at most `prefetch` batches in flight
-                        while len(pending) > self.prefetch:
-                            ready = pending.pop(0)
-                            if not put_or_stop(
-                                collate([f.result() for f in ready])
-                            ):
-                                return
-                    for ready in pending:
+                if self.worker_mode == "process":
+                    import multiprocessing as mp
+
+                    _PROC_DATASET = self.dataset  # inherited via fork
+                    pool = mp.get_context("fork").Pool(
+                        self.num_workers, initializer=_proc_init)
+                    submit = lambda i: pool.apply_async(_proc_get, (i,))
+                    result = lambda f: f.get()
+                else:
+                    pool = ThreadPoolExecutor(max_workers=self.num_workers)
+                    submit = lambda i: pool.submit(
+                        self.dataset.__getitem__, int(i))
+                    result = lambda f: f.result()
+
+                pending = []
+                for idx_batch in self._index_batches():
+                    if stop.is_set():
+                        return
+                    futures = [submit(int(i)) for i in idx_batch]
+                    pending.append(futures)
+                    # keep at most `prefetch` batches in flight
+                    while len(pending) > self.prefetch:
+                        ready = pending.pop(0)
                         if not put_or_stop(
-                            collate([f.result() for f in ready])
+                            collate([result(f) for f in ready])
                         ):
                             return
+                for ready in pending:
+                    if not put_or_stop(
+                        collate([result(f) for f in ready])
+                    ):
+                        return
             except Exception as exc:  # surface worker errors to the consumer
                 put_or_stop(exc)
             finally:
+                if pool is not None:
+                    if self.worker_mode == "process":
+                        pool.terminate()
+                        pool.join()
+                    else:
+                        pool.shutdown(wait=False, cancel_futures=True)
                 put_or_stop(None)
 
         thread = threading.Thread(target=producer, daemon=True)

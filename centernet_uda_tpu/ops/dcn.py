@@ -85,9 +85,10 @@ def _pallas_supported(x, weight, stride, padding, dilation) -> bool:
         and _pair(padding) == (1, 1)
         and _pair(dilation) == (1, 1)
         # small maps waste lanes (W of 128) but still beat the XLA gather
-        # path by ~10x: profiled 2.5 ms/gather-fusion at 16x32x32x256 vs
-        # ~0.9 ms for the whole Pallas layer (tools/bench_dcn.py)
-        and 8 <= w <= 128
+        # path by ~10x (they lane-pack, see dcn_pallas._pack_factor); wide
+        # maps (the 800px eval pyramid, W=200) tile into overlapping
+        # 128-lane panels with horizontal offsets clamped like vertical
+        and 8 <= w <= 1024
     )
 
 
@@ -108,10 +109,27 @@ def _dcn_pallas_fwd(x, offset, mask, weight, bias):
 def _dcn_pallas_bwd(res, g):
     """Fused Pallas backward (ops/dcn_pallas.py: recomputed shift-and-select
     sampling + one-hot MXU scatter for dx) with the same vertical-offset
-    clamp semantics as the forward."""
+    clamp semantics as the forward. Wide maps (W > 128, panel-tiled
+    forward) differentiate through the XLA formulation with both offset
+    clamps applied — eval-resolution training is not on the hot path."""
+    x, offset, mask, weight, bias = res
+    if x.shape[2] > 128:
+        def ref(x, offset, mask, weight, bias):
+            k = mask.shape[-1]
+            off = offset.reshape(offset.shape[:-1] + (k, 2))
+            off = jnp.clip(off, -PALLAS_MAX_SHIFT, PALLAS_MAX_SHIFT)
+            return dcn_v2(x, off.reshape(offset.shape), mask, weight, bias)
+
+        _, vjp = jax.vjp(ref, x, offset, mask, weight,
+                         bias if bias is not None else jnp.zeros(
+                             (weight.shape[-1],), jnp.float32))
+        grads = vjp(g)
+        if bias is None:
+            grads = grads[:4] + (None,)
+        return grads
+
     from centernet_uda_tpu.ops.dcn_pallas import dcn_v2_pallas_bwd
 
-    x, offset, mask, weight, bias = res
     dx, doff, dmask, dweight, dbias = dcn_v2_pallas_bwd(
         x, offset, mask, weight, g, max_shift=PALLAS_MAX_SHIFT
     )

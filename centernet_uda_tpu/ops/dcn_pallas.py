@@ -20,12 +20,18 @@ for the TPU's actual shuffle hardware:
 
 Scope (asserted): kernel 3x3, stride 1, padding 1, dilation 1,
 deformable_groups 1 — exactly the configuration every reference backend
-uses (backends/dla.py:358-367, backends/mobilenetv2.py:146-148) — and
-``W <= 128`` (lane-gather extent). Vertical offsets are clamped to
-``max_shift`` (default 14) pixels; the reference CUDA kernel allows
-unbounded offsets, but trained CenterNet offsets stay well inside this
-budget — the XLA path (``use_pallas=False``) keeps the exact unbounded
-semantics for parity checks.
+uses (backends/dla.py:358-367, backends/mobilenetv2.py:146-148). Widths:
+- ``W <= 128``: native (lane-gather extent); small maps lane-pack several
+  images per 128-lane register row (``_pack_factor``).
+- ``W > 128`` (the 800px eval pyramid, W=200): the forward tiles into
+  overlapping 128-lane panels; horizontal offsets are then clamped to
+  ``max_shift`` like vertical ones, and the backward differentiates
+  through the XLA formulation (ops/dcn.py:_dcn_pallas_bwd).
+Vertical offsets are clamped to ``max_shift`` (default 14) pixels; the
+reference CUDA kernel allows unbounded offsets, but trained CenterNet
+offsets stay well inside this budget (training stats surface
+``dcn_max_abs_dy`` to catch saturation) — the XLA path
+(``use_pallas=False``) keeps the exact unbounded semantics.
 """
 
 from __future__ import annotations
@@ -97,7 +103,8 @@ def _seg_grids(r_blk: int, wl: int, w_img: int):
 
 def _dcn_kernel(xt_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, *,
                 h: int, w: int, w_img: int, cin: int, cout: int,
-                pad_rows: int, max_shift: int, row_block: int):
+                pad_rows: int, max_shift: int, row_block: int,
+                panel_wp: int = 0):
     """Program (i, r): image group i, row block r. Layouts (W = pk lane-
     packed images of width w_img each, see ``_pack_factor``):
     xt_ref   (1, H+2P, Cin, W) bf16  row-padded, W-on-lanes transpose
@@ -106,20 +113,41 @@ def _dcn_kernel(xt_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, *,
     w_ref    (9, Cin, Cout)    f32   tap-major kernel
     b_ref    (1, Cout)         f32
     out_ref  (1, R, W, Cout)   f32
+
+    ``panel_wp > 0``: wide-map mode (real width w_img > 128) — program
+    (i, p, r) computes panel p, a 128-lane window at real columns
+    [p*panel_wp - halo, ...+128) with halo = pad_rows; horizontal offsets
+    are clamped to max_shift (mirroring the vertical clamp) so the kept
+    middle panel_wp columns never sample outside their window; validity
+    is evaluated in real coordinates. Refs carry an extra panel dim.
     """
     r_blk = row_block
-    r0 = pl.program_id(1) * r_blk
+    if panel_wp:
+        origin = pl.program_id(1) * panel_wp - pad_rows
+        r0 = pl.program_id(2) * r_blk
+        offp, maskp = off_ref[0, 0], mask_ref[0, 0]
+    else:
+        origin = 0
+        r0 = pl.program_id(1)
+        r0 = r0 * r_blk
+        offp, maskp = off_ref[0], mask_ref[0]
     dmin, dmax = -max_shift - 2, max_shift + 2
 
     out_acc = jnp.zeros((r_blk, w, cout), jnp.float32)
     rgrid = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 0) + r0
-    jgrid, seg_base = _seg_grids(r_blk, w, w_img)
+    if panel_wp:
+        jgrid = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 1)
+        seg_base = None
+    else:
+        jgrid, seg_base = _seg_grids(r_blk, w, w_img)
 
     for t in range(9):
         ti, tj = t // 3, t % 3
-        off_y = jnp.clip(off_ref[0, 2 * t], -max_shift, max_shift)
-        off_x = off_ref[0, 2 * t + 1]
-        m = mask_ref[0, t]
+        off_y = jnp.clip(offp[2 * t], -max_shift, max_shift)
+        off_x = offp[2 * t + 1]
+        if panel_wp:
+            off_x = jnp.clip(off_x, -max_shift, max_shift)
+        m = maskp[t]
 
         py = rgrid.astype(jnp.float32) + (ti - 1) + off_y
         px = jgrid.astype(jnp.float32) + (tj - 1) + off_x
@@ -131,19 +159,22 @@ def _dcn_kernel(xt_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, *,
         y0 = y0f.astype(jnp.int32)
         x0 = x0f.astype(jnp.int32)
 
-        # corner validity (the CUDA sampler reads 0 strictly outside the map)
+        # corner validity in REAL coordinates (the CUDA sampler reads 0
+        # strictly outside the map)
+        x0r = x0 + origin if panel_wp else x0
         vy0 = (y0 >= 0) & (y0 <= h - 1)
         vy1 = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)
-        vx0 = (x0 >= 0) & (x0 <= w_img - 1)
-        vx1 = (x0 + 1 >= 0) & (x0 + 1 <= w_img - 1)
+        vx0 = (x0r >= 0) & (x0r <= w_img - 1)
+        vx1 = (x0r + 1 >= 0) & (x0r + 1 <= w_img - 1)
 
         w00 = jnp.where(vy0 & vx0, (1 - fy) * (1 - fx) * m, 0.0)
         w01 = jnp.where(vy0 & vx1, (1 - fy) * fx * m, 0.0)
         w10 = jnp.where(vy1 & vx0, fy * (1 - fx) * m, 0.0)
         w11 = jnp.where(vy1 & vx1, fy * fx * m, 0.0)
 
-        x0c = jnp.clip(x0, 0, w_img - 1)
-        x1c = jnp.clip(x0 + 1, 0, w_img - 1)
+        clip_hi = w - 1 if panel_wp else w_img - 1
+        x0c = jnp.clip(x0, 0, clip_hi)
+        x1c = jnp.clip(x0 + 1, 0, clip_hi)
         if seg_base is not None:
             x0c = x0c + seg_base
             x1c = x1c + seg_base
@@ -167,7 +198,10 @@ def _dcn_kernel(xt_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, *,
             active = jnp.any((a_w > 0) | (b_w > 0))
 
             def compute(s):
-                src = xt_ref[0, pl.ds(r0 + pad_rows + d, r_blk)]
+                if panel_wp:
+                    src = xt_ref[0, 0, pl.ds(r0 + pad_rows + d, r_blk)]
+                else:
+                    src = xt_ref[0, pl.ds(r0 + pad_rows + d, r_blk)]
                 src2 = src.astype(jnp.float32).reshape(r_blk * cin, w)
                 g0 = jnp.take_along_axis(src2, idx0, axis=1)
                 g1 = jnp.take_along_axis(src2, idx1, axis=1)
@@ -193,7 +227,10 @@ def _dcn_kernel(xt_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, *,
             preferred_element_type=jnp.float32,
         )
 
-    out_ref[0] = out_acc + b_ref[0][None, None, :]
+    if panel_wp:
+        out_ref[0, 0] = out_acc + b_ref[0][None, None, :]
+    else:
+        out_ref[0] = out_acc + b_ref[0][None, None, :]
 
 
 @functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
@@ -215,9 +252,11 @@ def dcn_v2_pallas(
     b, h, w, cin = x.shape
     kh, kw, _, cout = weight.shape
     assert (kh, kw) == (3, 3), "pallas DCN kernel is 3x3 only"
-    assert w <= 128, "pallas DCN kernel supports W <= 128 (lane extent)"
     assert offset.shape == (b, h, w, 18)
     assert mask.shape == (b, h, w, 9)
+    if w > 128:
+        return _dcn_v2_pallas_wide(x, offset, mask, weight, bias,
+                                   max_shift, interpret)
 
     pad_rows = max_shift + 2
     r_blk = _row_block(h, cin)
@@ -281,6 +320,92 @@ def dcn_v2_pallas(
     return _unpack_w(out, pk)[:, :h]
 
 
+def _dcn_v2_pallas_wide(x, offset, mask, weight, bias, max_shift, interpret):
+    """Forward for real widths above the 128-lane extent (the 800px eval
+    pyramid runs the stride-4 DCN layers at W=200, configs/defaults.yaml:67).
+
+    The width is tiled into overlapping 128-lane panels: each panel keeps
+    its middle ``wp`` columns and carries a ``halo = max_shift + 2`` column
+    margin on both sides, so with horizontal offsets clamped to max_shift
+    (mirroring the vertical clamp; the XLA path keeps exact semantics) no
+    kept output ever samples outside its panel.
+    """
+    b, h, w, cin = x.shape
+    cout = weight.shape[3]
+    pad_rows = max_shift + 2
+    halo = pad_rows
+    wp = 128 - 2 * halo
+    n_p = -(-w // wp)
+
+    r_blk = _row_block(h, cin)
+    h_pad = -(-h // r_blk) * r_blk
+    extra = h_pad - h
+    col_r = n_p * wp + halo - w  # right margin incl. last-panel slack
+
+    xt = jnp.pad(
+        x.astype(jnp.bfloat16),
+        ((0, 0), (pad_rows, pad_rows + extra), (0, 0), (0, 0)),
+    ).transpose(0, 1, 3, 2)  # (B, Hp+2P, Cin, W)
+    xt = jnp.pad(xt, ((0, 0), (0, 0), (0, 0), (halo, col_r)))
+    x_pan = jnp.stack([xt[..., p * wp:p * wp + 128] for p in range(n_p)], 1)
+
+    off_t = jnp.pad(offset.astype(jnp.float32),
+                    ((0, 0), (0, extra), (0, 0), (0, 0))
+                    ).transpose(0, 3, 1, 2)  # (B,18,Hp,W)
+    off_t = jnp.pad(off_t, ((0, 0), (0, 0), (0, 0), (halo, col_r)))
+    off_pan = jnp.stack([off_t[..., p * wp:p * wp + 128]
+                         for p in range(n_p)], 1)
+    mask_t = jnp.pad(mask.astype(jnp.float32),
+                     ((0, 0), (0, extra), (0, 0), (0, 0))
+                     ).transpose(0, 3, 1, 2)
+    mask_t = jnp.pad(mask_t, ((0, 0), (0, 0), (0, 0), (halo, col_r)))
+    mask_pan = jnp.stack([mask_t[..., p * wp:p * wp + 128]
+                          for p in range(n_p)], 1)
+
+    w_taps = weight.reshape(9, cin, cout).astype(jnp.float32)
+    bias_in = (bias if bias is not None
+               else jnp.zeros((cout,), jnp.float32)).reshape(1, cout)
+
+    kernel = functools.partial(
+        _dcn_kernel, h=h, w=128, w_img=w, cin=cin, cout=cout,
+        pad_rows=pad_rows, max_shift=max_shift, row_block=r_blk,
+        panel_wp=wp,
+    )
+    hp2 = h_pad + 2 * pad_rows
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_p, h_pad // r_blk),
+        in_specs=[
+            pl.BlockSpec((1, 1, hp2, cin, 128),
+                         lambda i, p, r: (i, p, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 18, r_blk, 128),
+                         lambda i, p, r: (i, p, 0, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 9, r_blk, 128),
+                         lambda i, p, r: (i, p, 0, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, cin, cout), lambda i, p, r: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i, p, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, r_blk, 128, cout),
+                               lambda i, p, r: (i, p, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_p, h_pad, 128, cout),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x_pan, off_pan, mask_pan, w_taps, bias_in)
+
+    # keep each panel's middle wp columns, stitch, trim to the real width
+    kept = out[:, :, :, halo:halo + wp]                # (B, n_p, Hp, wp, C)
+    full = kept.transpose(0, 2, 1, 3, 4).reshape(b, h_pad, n_p * wp, cout)
+    return full[:, :h, :w]
+
+
 
 # ---------------------------------------------------------------------------
 # backward kernels
@@ -289,7 +414,7 @@ def dcn_v2_pallas(
 
 def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
                            doff_ref, dmask_ref, dw_out_ref, dxp_ref,
-                           dw_acc, v00, v01, v10, v11, dx_band, *,
+                           dw_acc, v00, v01, v10, v11, *,
                            h: int, w: int, w_img: int, cin: int, cout: int,
                            pad_rows: int, max_shift: int, row_block: int):
     """All gradients in ONE source-centric pass.
@@ -300,12 +425,13 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
       dmask[t] = sum_c u . gcol
       doff     = m * sum_c (corner-weight derivative combos) . gcol
       dx       = per-(tap, shift) weighted x-scatter of gcol (one-hot
-                 batched matmul on the MXU) into an OVERLAPPING row band
-                 [r0-P, r0+R+P) — sources in this block can only write
-                 there; the caller sums the shifted band partials.
+                 batched matmul on the MXU) accumulated straight into the
+                 whole-image dx block, which every row-block program of an
+                 image revisits (it stays resident in VMEM; TPU grid
+                 iteration is sequential so no atomics are needed).
     with gcol = g @ W_t^T computed once per tap and shared by all four.
     Layouts as in the forward kernel; g_ref is the (1, R, W, Cout)
-    cotangent block; dxp_ref the (1, 1, R+2P, W, Cin) dx partial.
+    cotangent block; dxp_ref the (1, Hp+2P, W, Cin) whole-image dx.
     """
     r_blk = row_block
     rb = pl.program_id(1)
@@ -315,8 +441,11 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
     @pl.when(rb == 0)
     def _init():
         dw_acc[:] = jnp.zeros_like(dw_acc)
+        # dx is a whole-image block revisited by every row-block program of
+        # this image: it lives in VMEM across the grid row and is written
+        # back once per image (no HBM partials, no band summation)
+        dxp_ref[0] = jnp.zeros_like(dxp_ref[0])
 
-    dx_band[:] = jnp.zeros_like(dx_band)
     rgrid = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 0) + r0
     jgrid, seg_base = _seg_grids(r_blk, w, w_img)
     # pos index on dim 1 for the x-scatter: S[r, pos, j] = (x_idx[r,j]==pos)
@@ -413,8 +542,9 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
                     s_w, gcol_b, (((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                 )  # (R, Wpos, Cin)
-                dx_band[pl.ds(pad_rows + d, r_blk)] = (
-                    dx_band[pl.ds(pad_rows + d, r_blk)] + contrib)
+                row = r0 + pad_rows + d
+                dxp_ref[0, pl.ds(row, r_blk)] = (
+                    dxp_ref[0, pl.ds(row, r_blk)] + contrib)
 
             return carry
 
@@ -455,8 +585,6 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
         doff_y = jnp.where(jnp.abs(off_y_raw) < max_shift, doff_y, 0.0)
         doff_ref[0, 2 * t] = doff_y
         doff_ref[0, 2 * t + 1] = doff_x
-
-    dxp_ref[0, 0] = dx_band[:]
 
     @pl.when(rb == n_rb - 1)
     def _finalize():
@@ -508,8 +636,7 @@ def _bwd_params_call(xt, off_t, mask_t, w_taps, g_blk_in, dims, max_shift,
         _dcn_bwd_params_kernel, h=h, w=w, w_img=dims["w_img"], cin=cin,
         cout=cout, pad_rows=pad_rows, max_shift=max_shift, row_block=r_blk,
     )
-    band = r_blk + 2 * pad_rows
-    doff_t, dmask_t, dw_b, dx_part = pl.pallas_call(
+    doff_t, dmask_t, dw_b, dx_full = pl.pallas_call(
         params_kernel,
         grid=(b, h_pad // r_blk),
         in_specs=[
@@ -531,15 +658,15 @@ def _bwd_params_call(xt, off_t, mask_t, w_taps, g_blk_in, dims, max_shift,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 9, cin, cout), lambda i, r: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, band, w, cin),
-                         lambda i, r: (i, r, 0, 0, 0),
+            pl.BlockSpec((1, h_pad + 2 * pad_rows, w, cin),
+                         lambda i, r: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, 18, h_pad, w), jnp.float32),
             jax.ShapeDtypeStruct((b, 9, h_pad, w), jnp.float32),
             jax.ShapeDtypeStruct((b, 9, cin, cout), jnp.float32),
-            jax.ShapeDtypeStruct((b, h_pad // r_blk, band, w, cin),
+            jax.ShapeDtypeStruct((b, h_pad + 2 * pad_rows, w, cin),
                                  jnp.float32),
         ],
         scratch_shapes=[
@@ -548,20 +675,13 @@ def _bwd_params_call(xt, off_t, mask_t, w_taps, g_blk_in, dims, max_shift,
             pltpu.VMEM((r_blk * cin, w), jnp.float32),
             pltpu.VMEM((r_blk * cin, w), jnp.float32),
             pltpu.VMEM((r_blk * cin, w), jnp.float32),
-            pltpu.VMEM((band, w, cin), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xt, off_t, mask_t, w_taps, g_blk_in)
 
-    # sum the overlapping per-block dx bands: block r covers padded rows
-    # [r*R, r*R + band) of a (h_pad + 2P)-row canvas
-    nblk = h_pad // r_blk
-    full = jnp.zeros((b, h_pad + 2 * pad_rows, w, cin), jnp.float32)
-    for k in range(nblk):
-        full = full.at[:, k * r_blk:k * r_blk + band].add(dx_part[:, k])
-    dx_t = full[:, pad_rows:pad_rows + h_pad]
+    dx_t = dx_full[:, pad_rows:pad_rows + h_pad]
     return doff_t, dmask_t, dw_b, dx_t
 
 

@@ -65,6 +65,7 @@ def load_datasets(cfg, down_ratio: int, rotated_boxes: bool,
             batch_size=int(cfg.batch_size),
             shuffle=shuffle,
             num_workers=int(cfg.get("num_workers", 0)),
+            worker_mode=str(cfg.get("worker_mode", "thread")),
             drop_last=drop_last,
             seed=int(cfg.get("seed", 42)),
             # multi-host: every process loads a disjoint shard

@@ -42,13 +42,20 @@ _SLOW = (
     "test_backends_extra.py",
     "test_export.py",
     "test_dcn_pooling.py",
+    "test_torch_import.py",
     "test_dla.py::test_dla_train_step_grads",
     "test_dla.py::test_trunk_level_shapes",
     "test_dla.py::test_dlaseg_head_contract",
+    "test_dla.py::test_hm_bias_init",
+    "test_dla.py::test_s2d_stem_matches_plain_stem",
     "test_dcn_pallas.py::test_non_divisible_height",
     "test_dcn_pallas.py::test_custom_vjp_backward_matches_clamped_xla",
     "test_dcn_pallas.py::test_matches_xla_within_clamp",
-    "test_models.py::TestResNet::test_head_contract[50",
+    "test_dcn_pallas.py::test_lane_packed_small_maps",
+    "test_dcn_pallas.py::test_wide_map_panels",
+    "test_dcn_pallas.py::test_vertical_clamp_semantics",
+    "test_dcn_pallas.py::test_zero_offsets_exact_structure",
+    "test_models.py::TestResNet",
     "test_dcn.py::test_gradcheck",
 )
 

@@ -127,6 +127,20 @@ def test_loader_batches(tiny_coco):
     assert batches[0]["hm"].shape == (2, 16, 16, 3)
 
 
+def test_loader_process_workers(tiny_coco):
+    """Forked worker-process mode yields the same batches as threads."""
+    ds = make_dataset(tiny_coco)
+    loader = DataLoader(ds, batch_size=2, shuffle=True, num_workers=2,
+                        seed=5, worker_mode="process")
+    ref = DataLoader(ds, batch_size=2, shuffle=True, num_workers=2, seed=5)
+    got = list(loader)
+    want = list(ref)
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a["input"], b["input"])
+        np.testing.assert_array_equal(a["hm"], b["hm"])
+
+
 def test_loader_drop_last(tiny_coco):
     ds = make_dataset(tiny_coco)
     loader = DataLoader(ds, batch_size=3, drop_last=True)

@@ -111,15 +111,33 @@ def test_custom_vjp_backward_matches_clamped_xla(rng):
 
 def test_unsupported_shapes_fall_back(rng):
     """dcn_v2(use_pallas=True) silently uses XLA outside the envelope."""
-    b, h, w, cin, cout = 1, 8, 132, 4, 4  # W=132 > 128 lanes -> XLA path
+    b, h, w, cin, cout = 1, 9, 9, 4, 4
     x = jnp.asarray(rng.randn(b, h, w, cin).astype(np.float32))
-    off = jnp.asarray((rng.randn(b, h, w, 18)).astype(np.float32))
-    m = jnp.asarray(rng.rand(b, h, w, 9).astype(np.float32))
+    off = jnp.asarray((rng.randn(b, 5, 5, 18)).astype(np.float32))
+    m = jnp.asarray(rng.rand(b, 5, 5, 9).astype(np.float32))
     wgt = jnp.asarray((rng.randn(3, 3, cin, cout) * 0.1).astype(np.float32))
-    out_fast = dcn_v2(x, off, m, wgt, None, use_pallas=True)
-    out_ref = dcn_v2(x, off, m, wgt, None, use_pallas=False)
+    # stride 2 is outside the Pallas envelope -> XLA path
+    out_fast = dcn_v2(x, off, m, wgt, None, stride=2, use_pallas=True)
+    out_ref = dcn_v2(x, off, m, wgt, None, stride=2, use_pallas=False)
     np.testing.assert_allclose(np.asarray(out_fast), np.asarray(out_ref),
                                rtol=1e-5)
+
+
+def test_wide_map_panels(rng):
+    """W > 128 (the 800px eval pyramid, W=200) tiles into overlapping
+    panels; output must match the XLA reference with both offset clamps."""
+    b, h, w, cin, cout = 1, 8, 140, 8, 8
+    x = jnp.asarray(rng.randn(b, h, w, cin).astype(np.float32))
+    off = jnp.asarray((rng.randn(b, h, w, 18) * 1.5).astype(np.float32))
+    m = jnp.asarray(rng.rand(b, h, w, 9).astype(np.float32))
+    wgt = jnp.asarray((rng.randn(3, 3, cin, cout) * 0.1).astype(np.float32))
+    bias = jnp.asarray(rng.randn(cout).astype(np.float32))
+
+    offc = off.reshape(b, h, w, 9, 2)
+    offc = jnp.clip(offc, -14, 14).reshape(b, h, w, 18)
+    want = np.asarray(dcn_v2(x, offc, m, wgt, bias))
+    got = np.asarray(dcn_v2_pallas(x, off, m, wgt, bias, interpret=True))
+    np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
 
 
 def test_non_divisible_height(rng):

@@ -20,6 +20,29 @@ import time
 import numpy as np
 
 
+def _pipeline_rate() -> float:
+    """Host loader rate (real aug + native encode at 512px), measured in a
+    fresh JAX-free subprocess: forking worker processes from a process
+    that already initialized the TPU runtime can deadlock."""
+    import json as json_lib
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "XLA_"))}
+    env["IMAGES"] = "48"
+    env["MODE"] = "process"
+    env["WORKERS"] = str(min(os.cpu_count() or 1, 8))
+    out = subprocess.run(
+        [sys.executable,
+         str(Path(__file__).resolve().parent / "tools/bench_pipeline.py")],
+        env=env, capture_output=True, text=True, timeout=240,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return float(json_lib.loads(line)["pipeline_images_per_sec"])
+
+
 def main():
     # persistent XLA/Mosaic compile cache: the DCN kernels compile slowly
     # through the remote-compile tunnel; cache hits make re-runs start fast
@@ -146,6 +169,18 @@ def main():
     sync(d)
     decode_p50_ms = (time.perf_counter() - t0) / n_dec * 1e3
 
+    # --- host input-pipeline rate (aug + native encode + collate) --------
+    # SURVEY §7 hard part #5: the host must outrun the device step rate.
+    # Reported per core (this builder VM may have very few); see
+    # tools/bench_pipeline.py for the standalone version with knobs.
+    pipeline_ips = None
+    n_cores = os.cpu_count() or 1
+    if os.environ.get("BENCH_PIPELINE", "1") == "1":
+        try:
+            pipeline_ips = _pipeline_rate()
+        except Exception as exc:  # never fail the bench on host-side issues
+            print(f"# pipeline bench skipped: {exc}", flush=True)
+
     # combined train+infer images/sec/chip (harmonic-style: one train step
     # plus one inference pass per image)
     combined = 1.0 / (1.0 / train_ips + 1.0 / infer_ips)
@@ -161,6 +196,9 @@ def main():
             "infer_images_per_sec": round(infer_ips, 2),
             "infer_800px_images_per_sec": (
                 round(infer800_ips, 2) if infer800_ips else None),
+            "pipeline_images_per_sec": (
+                round(pipeline_ips, 2) if pipeline_ips else None),
+            "host_cores": n_cores,
             "decode_p50_ms_batch": round(decode_p50_ms, 3),
             "batch_size": batch_size,
             "devices": n_chips,

@@ -73,7 +73,10 @@ class DataLoader:
         ``worker_mode``: "thread" (default; cv2/numpy release the GIL for
         the heavy work) or "process" (forked worker pool — the reference's
         ``DataLoader(num_workers)`` model, train.py:30-35 — for pipelines
-        whose Python-side augmentation contends on the GIL)."""
+        whose Python-side augmentation contends on the GIL). Process mode
+        forks: fork AFTER heavy accelerator-client activity can deadlock
+        on runtime threads, so processes are forked on first iteration —
+        construct and iterate loaders early, or keep "thread"."""
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = bool(shuffle)

@@ -178,6 +178,8 @@ def _dcn_kernel(xt_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, *,
         if seg_base is not None:
             x0c = x0c + seg_base
             x1c = x1c + seg_base
+        # indices must be materialized per gather row; weights broadcast
+        # implicitly in 3D form (no (R*Cin, W) temporaries)
         idx0 = jnp.broadcast_to(x0c[:, None, :], (r_blk, cin, w)
                                 ).reshape(r_blk * cin, w)
         idx1 = jnp.broadcast_to(x1c[:, None, :], (r_blk, cin, w)
@@ -203,25 +205,23 @@ def _dcn_kernel(xt_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, *,
                 else:
                     src = xt_ref[0, pl.ds(r0 + pad_rows + d, r_blk)]
                 src2 = src.astype(jnp.float32).reshape(r_blk * cin, w)
-                g0 = jnp.take_along_axis(src2, idx0, axis=1)
-                g1 = jnp.take_along_axis(src2, idx1, axis=1)
-                a_b = jnp.broadcast_to(a_w[:, None, :], (r_blk, cin, w)
-                                       ).reshape(r_blk * cin, w)
-                b_b = jnp.broadcast_to(b_w[:, None, :], (r_blk, cin, w)
-                                       ).reshape(r_blk * cin, w)
-                return s + a_b * g0 + b_b * g1
+                g0 = jnp.take_along_axis(src2, idx0, axis=1
+                                         ).reshape(r_blk, cin, w)
+                g1 = jnp.take_along_axis(src2, idx1, axis=1
+                                         ).reshape(r_blk, cin, w)
+                return s + a_w[:, None, :] * g0 + b_w[:, None, :] * g1
 
             return jax.lax.cond(active, compute, lambda s: s, s)
 
         s = jax.lax.fori_loop(
             jnp.maximum(d_lo, dmin), jnp.minimum(d_hi, dmax) + 1, shift_body,
-            jnp.zeros((r_blk * cin, w), jnp.float32),
+            jnp.zeros((r_blk, cin, w), jnp.float32),
         )
 
         # (R, Cin, W) x (Cin, Cout), batched over rows -> MXU (bf16 inputs,
         # f32 accumulate: the samples were bf16-staged anyway)
         out_acc = out_acc + jax.lax.dot_general(
-            s.astype(jnp.bfloat16).reshape(r_blk, cin, w),
+            s.astype(jnp.bfloat16),
             w_ref[t].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -453,7 +453,9 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
     pos = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w, w), 1)
     g_blk = g_ref[0]  # (R, W, Cout)
 
-    def bcast(a):
+    def bcast_idx(a):
+        # gather indices must be materialized per row; per-pixel WEIGHTS
+        # broadcast implicitly via [:, None, :] in 3D (R, Cin, W) form
         return jnp.broadcast_to(a[:, None, :], (r_blk, cin, w)
                                 ).reshape(r_blk * cin, w)
 
@@ -487,15 +489,15 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
         if seg_base is not None:
             x0c = x0c + seg_base
             x1c = x1c + seg_base
-        idx0 = bcast(x0c)
-        idx1 = bcast(x1c)
+        idx0 = bcast_idx(x0c)
+        idx1 = bcast_idx(x1c)
 
         gcol = jax.lax.dot_general(
             g_blk.astype(jnp.bfloat16), w_ref[t].astype(jnp.bfloat16),
             (((2,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (R, W, Cin)
-        gcol2 = jnp.swapaxes(gcol, 1, 2).reshape(r_blk * cin, w)
+        gcol3 = jnp.swapaxes(gcol, 1, 2)  # (R, Cin, W)
 
         rel = y0 - rgrid
         d_lo = jnp.min(rel)
@@ -522,10 +524,12 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
             def _():
                 src = xt_ref[0, pl.ds(r0 + pad_rows + d, r_blk)]
                 src2 = src.astype(jnp.float32).reshape(r_blk * cin, w)
-                g0 = jnp.take_along_axis(src2, idx0, axis=1)
-                g1 = jnp.take_along_axis(src2, idx1, axis=1)
-                s0b = bcast(sel0)
-                s1b = bcast(sel1)
+                g0 = jnp.take_along_axis(src2, idx0, axis=1
+                                         ).reshape(r_blk, cin, w)
+                g1 = jnp.take_along_axis(src2, idx1, axis=1
+                                         ).reshape(r_blk, cin, w)
+                s0b = sel0[:, None, :]
+                s1b = sel1[:, None, :]
                 v00[:] = v00[:] + s0b * g0
                 v01[:] = v01[:] + s0b * g1
                 v10[:] = v10[:] + s1b * g0
@@ -553,14 +557,13 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
                           jnp.minimum(d_hi, max_shift + 2) + 1,
                           shift_body, 0)
 
-        w00b = bcast(val00 * (1 - fy) * (1 - fx))
-        w01b = bcast(val01 * (1 - fy) * fx)
-        w10b = bcast(val10 * fy * (1 - fx))
-        w11b = bcast(val11 * fy * fx)
-        u = (w00b * v00[:] + w01b * v01[:] + w10b * v10[:] + w11b * v11[:])
+        u = ((val00 * (1 - fy) * (1 - fx))[:, None, :] * v00[:]
+             + (val01 * (1 - fy) * fx)[:, None, :] * v01[:]
+             + (val10 * fy * (1 - fx))[:, None, :] * v10[:]
+             + (val11 * fy * fx)[:, None, :] * v11[:])
 
         # dW[t] += sum_r s_t[r] (Cin, W) @ g[r] (W, Cout), batched on the MXU
-        s_t = (bcast(m) * u).astype(jnp.bfloat16).reshape(r_blk, cin, w)
+        s_t = (m[:, None, :] * u).astype(jnp.bfloat16)
         dw_r = jax.lax.dot_general(
             s_t, g_blk.astype(jnp.bfloat16), (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -568,21 +571,21 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
         dw_acc[t] = dw_acc[t] + jnp.sum(dw_r, axis=0)
 
         # dmask[t] = sum_c u . gcol
-        prod = (u * gcol2).reshape(r_blk, cin, w)
-        dmask_ref[0, t] = jnp.sum(prod, axis=1)
+        dmask_ref[0, t] = jnp.sum(u * gcol3, axis=1)
 
         # doffset via bilinear-weight derivatives (validity folded in)
-        fxb, fyb = bcast(fx), bcast(fy)
-        dy_comb = (-(1 - fxb) * bcast(val00) * v00[:]
-                   - fxb * bcast(val01) * v01[:]
-                   + (1 - fxb) * bcast(val10) * v10[:]
-                   + fxb * bcast(val11) * v11[:])
-        dx_comb = (-(1 - fyb) * bcast(val00) * v00[:]
-                   + (1 - fyb) * bcast(val01) * v01[:]
-                   - fyb * bcast(val10) * v10[:]
-                   + fyb * bcast(val11) * v11[:])
-        doff_y = m * jnp.sum((dy_comb * gcol2).reshape(r_blk, cin, w), axis=1)
-        doff_x = m * jnp.sum((dx_comb * gcol2).reshape(r_blk, cin, w), axis=1)
+        p00 = val00[:, None, :] * v00[:]
+        p01 = val01[:, None, :] * v01[:]
+        p10 = val10[:, None, :] * v10[:]
+        p11 = val11[:, None, :] * v11[:]
+        fxb = fx[:, None, :]
+        fyb = fy[:, None, :]
+        dy_comb = (-(1 - fxb) * p00 - fxb * p01
+                   + (1 - fxb) * p10 + fxb * p11)
+        dx_comb = (-(1 - fyb) * p00 + (1 - fyb) * p01
+                   - fyb * p10 + fyb * p11)
+        doff_y = m * jnp.sum(dy_comb * gcol3, axis=1)
+        doff_x = m * jnp.sum(dx_comb * gcol3, axis=1)
         doff_y = jnp.where(jnp.abs(off_y_raw) < max_shift, doff_y, 0.0)
         doff_ref[0, 2 * t] = doff_y
         doff_ref[0, 2 * t + 1] = doff_x
@@ -672,10 +675,10 @@ def _bwd_params_call(xt, off_t, mask_t, w_taps, g_blk_in, dims, max_shift,
         ],
         scratch_shapes=[
             pltpu.VMEM((9, cin, cout), jnp.float32),
-            pltpu.VMEM((r_blk * cin, w), jnp.float32),
-            pltpu.VMEM((r_blk * cin, w), jnp.float32),
-            pltpu.VMEM((r_blk * cin, w), jnp.float32),
-            pltpu.VMEM((r_blk * cin, w), jnp.float32),
+            pltpu.VMEM((r_blk, cin, w), jnp.float32),
+            pltpu.VMEM((r_blk, cin, w), jnp.float32),
+            pltpu.VMEM((r_blk, cin, w), jnp.float32),
+            pltpu.VMEM((r_blk, cin, w), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

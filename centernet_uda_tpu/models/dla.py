@@ -484,7 +484,7 @@ class DLASeg(nn.Module):
         first_level = int(math.log2(self.down_ratio))
         channels = list(self.channels)
 
-        feats = DLATrunk(self.levels, self.channels, self.dtype,
+        feats = DLATrunk(self.levels, self.channels, dtype=self.dtype,
                          name="base")(x, train=train)
 
         scales = [2 ** i for i in range(len(channels[first_level:]))]

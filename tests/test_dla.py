@@ -124,3 +124,21 @@ def test_s2d_stem_matches_plain_stem():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
     for a, b in zip(out_a2, out_b2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_dtype_threads_through_trunk():
+    """Regression: DLASeg(dtype=bf16) must run the trunk in bf16 (a
+    positional-arg slip once routed dtype into stem_s2d, silently running
+    the whole trunk in f32)."""
+    from centernet_uda_tpu.models.dla import DLASeg
+
+    m = DLASeg(heads={"hm": 2, "wh": 2, "reg": 2}, dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+
+    y, st = m.apply(v, x, train=False, capture_intermediates=True,
+                    mutable=["intermediates"])
+    trunk_outs = st["intermediates"]["base"]["__call__"][0]
+    assert all(o.dtype == jnp.bfloat16 for o in trunk_outs), \
+        [o.dtype for o in trunk_outs]
+    assert np.isfinite(np.asarray(y["hm"], np.float32)).all()

@@ -68,9 +68,17 @@ def main():
              else jnp.bfloat16)
     if backend_name == "dla":
         backend_params = {"num_classes": 6, "dtype": dtype}
-    else:
+    elif backend_name == "resnet":
         backend_params = {"num_layers": 18, "num_classes": 6,
                           "pretrained": False, "dtype": dtype}
+    elif backend_name == "mobilenetv2":
+        backend_params = {"num_classes": 6, "pretrained": False,
+                          "use_dcn": True, "use_skip": True, "dtype": dtype}
+    elif backend_name == "efficientnet":
+        backend_params = {"variant": "b0", "num_classes": 6,
+                          "pretrained": False, "dtype": dtype}
+    else:
+        raise SystemExit(f"unknown BENCH_BACKEND {backend_name!r}")
 
     trainer = ge._build_trainer(
         batch_size=batch_size, input_size=input_size,

@@ -89,6 +89,11 @@ def _pallas_supported(x, weight, stride, padding, dilation) -> bool:
         # maps (the 800px eval pyramid, W=200) tile into overlapping
         # 128-lane panels with horizontal offsets clamped like vertical
         and 8 <= w <= 1024
+        # VMEM budget: the backward keeps the whole-image dx block, the
+        # 9-tap sample/gcol scratches and the feature block resident —
+        # beyond Cin=512 (DLA's max; MobileNetV2's 1280-ch neck head) the
+        # working set exceeds VMEM, so those layers use the XLA path
+        and x.shape[-1] <= 512
     )
 
 

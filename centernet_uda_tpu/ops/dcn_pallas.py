@@ -706,9 +706,9 @@ def dcn_v2_pallas_bwd(
     clamp as the Pallas forward. ONE fused source-centric kernel produces
     all gradients — the recomputed sampling weights and the per-tap
     ``gcol = g @ W_t^T`` are shared between (doffset, dmask, dweight) and
-    the dx x-scatter, which lands in overlapping row-band partials summed
-    here (TPUs have no cheap atomics; the band sum replaces col2im's
-    atomicAdd).
+    the dx x-scatter, which accumulates into a VMEM-resident whole-image
+    block revisited by every row-block program (TPU grid execution is
+    sequential, so this replaces col2im's atomicAdd without partials).
     """
     h, cin = x.shape[1], x.shape[3]
     cout = weight.shape[3]

@@ -194,3 +194,23 @@ def test_dcn_module_sows_offset_monitor(rng):
     assert len(leaves) == 1
     # conv_offset_mask is zero-initialized -> zero offsets
     assert float(leaves[0]) == 0.0
+
+
+def test_pallas_gate_envelope():
+    """_pallas_supported covers exactly the documented envelope."""
+    import jax.numpy as jnp
+
+    from centernet_uda_tpu.ops.dcn import _pallas_supported
+
+    def sup(w, cin, stride=1, k=3):
+        x = jnp.zeros((1, 8, w, cin))
+        wgt = jnp.zeros((k, k, cin, 8))
+        return _pallas_supported(x, wgt, stride, 1, 1)
+
+    assert sup(8, 64) and sup(128, 64) and sup(200, 64) and sup(1024, 64)
+    assert not sup(4, 64)            # below the minimum width
+    assert not sup(2000, 64)         # beyond the panel budget
+    assert sup(16, 512)
+    assert not sup(16, 1280)         # MobileNetV2 neck head: VMEM budget
+    assert not sup(64, 64, stride=2)
+    assert not sup(64, 64, k=5)

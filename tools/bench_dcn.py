@@ -6,7 +6,7 @@ plain-conv reference bar (the CUDA driver makes DCN cost ~ im2col + one
 GEMM, /root/reference/src/cuda/dcn_v2_cuda.cu:42-163):
   conv        plain 3x3 conv (XLA)
   fwd         fused Pallas forward
-  bwd         full Pallas backward (params kernel + dx kernel)
+  bwd         full Pallas backward (single fused kernel)
   fwd+bwd     value_and_grad through the custom_vjp op
 
 OFFSET_STD environment knob controls the offset spread (default 1.0 px).

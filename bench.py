@@ -1,23 +1,37 @@
 #!/usr/bin/env python
 """Benchmark: train+inference throughput (images/sec/chip) on the flagship model.
 
-Prints ONE JSON line:
+Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
 Workload definition follows BASELINE.md: 512x512 input, batch 16, Adam,
 down_ratio 4 — the reference's training defaults (configs/defaults.yaml:102-109,
 datasets/coco.py:25) on the flagship DLA-34 + DCNv2 backend. Runs on
 whatever accelerator jax sees (one TPU chip under the driver); the backend
-is switchable via BENCH_BACKEND (dla | resnet).
+is switchable via BENCH_BACKEND (dla | resnet | mobilenetv2 | efficientnet).
+
+Structure (the round-2 lesson — BENCH_r02.json rc=124): the core
+train+infer measurement runs FIRST and the JSON line prints as soon as it
+exists. Everything optional (per-op DCN micro-bench, 800px eval-resolution
+inference, host-pipeline rate) is wall-clock budgeted and/or default-off,
+and anything that runs after the core print writes to stderr +
+outputs/bench_extra.json, never stdout.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+_START = time.perf_counter()
+
+
+def _elapsed() -> float:
+    return time.perf_counter() - _START
 
 
 def _pipeline_rate() -> float:
@@ -26,7 +40,6 @@ def _pipeline_rate() -> float:
     that already initialized the TPU runtime can deadlock."""
     import json as json_lib
     import subprocess
-    import sys
     from pathlib import Path
 
     env = {k: v for k, v in os.environ.items()
@@ -54,6 +67,10 @@ def main():
     input_size = int(os.environ.get("BENCH_SIZE", 512))
     steps = int(os.environ.get("BENCH_STEPS", 20))
     warmup = int(os.environ.get("BENCH_WARMUP", 3))
+    # optional-stage wall-clock budget, measured from process start. Any
+    # optional stage only *starts* while under budget, so one slow compile
+    # can never prevent the core JSON line from printing.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
 
     import __graft_entry__ as ge
     import jax.numpy as jnp
@@ -115,8 +132,6 @@ def main():
     train_ips = batch_size * steps / train_dt
 
     # --- inference (forward + decode) throughput ------------------------
-    import jax.numpy as jnp
-
     from centernet_uda_tpu.ops.decode import decode_detections
 
     module = trainer.backend.module
@@ -142,11 +157,78 @@ def main():
     infer_dt = time.perf_counter() - t0
     infer_ips = batch_size * steps / infer_dt
 
-    # --- 800px eval-resolution inference (configs/defaults.yaml:67) ------
-    # the reference validates at 800x800; the stride-4 DCN layers run at
-    # W=200 through the panel-tiled Pallas path (ops/dcn_pallas.py)
-    infer800_ips = None
-    if os.environ.get("BENCH_800", "1") == "1" and backend_name == "dla":
+    # --- decode latency (the fused XLA decode alone; cheap compile) ------
+    # pipelined mean over many calls: per-call sync through the axon tunnel
+    # would measure the tunnel's ~0.6 ms dispatch latency, not the decode,
+    # so a true p50 is not measurable here — the key says what it is.
+    decode_mean_ms = None
+    if _elapsed() < budget_s:
+        hm_only = jax.jit(lambda hm, wh, reg: decode_detections(
+            hm, wh, reg, k=100, apply_sigmoid=True))
+        out_hw = input_size // 4
+        hm = jnp.zeros((batch_size, out_hw, out_hw, 6), jnp.float32)
+        whx = jnp.ones((batch_size, out_hw, out_hw, 2), jnp.float32)
+        regx = jnp.zeros((batch_size, out_hw, out_hw, 2), jnp.float32)
+        d = hm_only(hm, whx, regx)
+        sync(d)
+        n_dec = max(steps * 5, 50)
+        t0 = time.perf_counter()
+        for _ in range(n_dec):
+            d = hm_only(hm, whx, regx)
+        sync(d)
+        decode_mean_ms = (time.perf_counter() - t0) / n_dec * 1e3
+
+    # --- per-op DCN micro-bench (VERDICT r02 #7: per-op numbers belong in
+    # the driver JSON). Hot DLA layer shape, both directions. Budgeted: a
+    # cold Mosaic compile through the tunnel can be slow.
+    dcn_fwd_ms = dcn_bwd_ms = None
+    if (backend_name == "dla" and os.environ.get("BENCH_DCN_OPS", "1") == "1"
+            and _elapsed() < budget_s):
+        try:
+            dcn_fwd_ms, dcn_bwd_ms = _bench_dcn_ops(jax, jnp, sync, steps)
+        except Exception as exc:  # never fail the core bench
+            print(f"# dcn per-op bench skipped: {exc}", file=sys.stderr,
+                  flush=True)
+
+    # combined train+infer images/sec/chip (harmonic-style: one train step
+    # plus one inference pass per image)
+    combined = 1.0 / (1.0 / train_ips + 1.0 / infer_ips)
+
+    n_chips = max(jax.device_count(), 1)
+    # vs_baseline: ratio to the round-1 driver-verified number for this
+    # workload (BENCH_r01.json: 34.58 img/s/chip combined) — the reference
+    # publishes no numbers (BASELINE.md), so the first driver-recorded
+    # measurement is the anchor.
+    r01_anchor = 34.58 if backend_name == "dla" and input_size == 512 else None
+    value = round(combined / n_chips, 2)
+    result = {
+        "metric": f"{backend_name} {input_size}px train+infer throughput",
+        "value": value,
+        "unit": "images/sec/chip",
+        "vs_baseline": (round(value / r01_anchor, 2) if r01_anchor else None),
+        "detail": {
+            "train_images_per_sec": round(train_ips, 2),
+            "infer_images_per_sec": round(infer_ips, 2),
+            "decode_mean_ms_pipelined": (
+                round(decode_mean_ms, 3) if decode_mean_ms else None),
+            "dcn_fwd_ms": round(dcn_fwd_ms, 2) if dcn_fwd_ms else None,
+            "dcn_bwd_ms": round(dcn_bwd_ms, 2) if dcn_bwd_ms else None,
+            "batch_size": batch_size,
+            "devices": n_chips,
+            "host_cores": os.cpu_count() or 1,
+            "platform": jax.devices()[0].platform,
+        },
+    }
+    print(json.dumps(result), flush=True)
+
+    # ===== everything below runs AFTER the core JSON line and writes to
+    # stderr + outputs/bench_extra.json only =====
+    extra = {}
+
+    # 800px eval-resolution inference (configs/defaults.yaml:67): the
+    # stride-4 DCN layers run at W=200 through the panel-tiled Pallas path
+    if (os.environ.get("BENCH_800", "0") == "1" and backend_name == "dla"
+            and _elapsed() < budget_s):
         b800 = max(batch_size // 2, 1)
         x800 = jnp.asarray(
             np.random.RandomState(0)
@@ -157,63 +239,67 @@ def main():
         for _ in range(steps):
             dets = infer(state.params, state.batch_stats, x800)
         sync(dets)
-        infer800_ips = b800 * steps / (time.perf_counter() - t0)
+        extra["infer_800px_images_per_sec"] = round(
+            b800 * steps / (time.perf_counter() - t0), 2)
 
-    # --- decode p50 latency (the fused XLA decode alone) -----------------
-    hm_only = jax.jit(lambda hm, wh, reg: decode_detections(
-        hm, wh, reg, k=100, apply_sigmoid=True))
-    out_hw = input_size // 4
-    hm = jnp.zeros((batch_size, out_hw, out_hw, 6), jnp.float32)
-    whx = jnp.ones((batch_size, out_hw, out_hw, 2), jnp.float32)
-    regx = jnp.zeros((batch_size, out_hw, out_hw, 2), jnp.float32)
-    d = hm_only(hm, whx, regx)
-    sync(d)
-    # pipelined mean (per-call sync through the axon tunnel would measure
-    # the tunnel's ~0.6 ms dispatch latency, not the decode)
-    n_dec = max(steps * 5, 50)
-    t0 = time.perf_counter()
-    for _ in range(n_dec):
-        d = hm_only(hm, whx, regx)
-    sync(d)
-    decode_p50_ms = (time.perf_counter() - t0) / n_dec * 1e3
-
-    # --- host input-pipeline rate (aug + native encode + collate) --------
+    # host input-pipeline rate (aug + native encode + collate), per core.
     # SURVEY §7 hard part #5: the host must outrun the device step rate.
-    # Reported per core (this builder VM may have very few); see
-    # tools/bench_pipeline.py for the standalone version with knobs.
-    pipeline_ips = None
-    n_cores = os.cpu_count() or 1
-    if os.environ.get("BENCH_PIPELINE", "1") == "1":
+    if os.environ.get("BENCH_PIPELINE", "0") == "1" and _elapsed() < budget_s:
         try:
-            pipeline_ips = _pipeline_rate()
-        except Exception as exc:  # never fail the bench on host-side issues
-            print(f"# pipeline bench skipped: {exc}", flush=True)
+            extra["pipeline_images_per_sec"] = round(_pipeline_rate(), 2)
+        except Exception as exc:
+            print(f"# pipeline bench skipped: {exc}", file=sys.stderr,
+                  flush=True)
 
-    # combined train+infer images/sec/chip (harmonic-style: one train step
-    # plus one inference pass per image)
-    combined = 1.0 / (1.0 / train_ips + 1.0 / infer_ips)
+    if extra:
+        print(json.dumps({"extra": extra}), file=sys.stderr, flush=True)
+        try:
+            os.makedirs("outputs", exist_ok=True)
+            with open("outputs/bench_extra.json", "w") as f:
+                json.dump(extra, f, indent=2)
+        except OSError:
+            pass
 
-    n_chips = max(jax.device_count(), 1)
-    result = {
-        "metric": f"{backend_name} {input_size}px train+infer throughput",
-        "value": round(combined / n_chips, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": None,
-        "detail": {
-            "train_images_per_sec": round(train_ips, 2),
-            "infer_images_per_sec": round(infer_ips, 2),
-            "infer_800px_images_per_sec": (
-                round(infer800_ips, 2) if infer800_ips else None),
-            "pipeline_images_per_sec": (
-                round(pipeline_ips, 2) if pipeline_ips else None),
-            "host_cores": n_cores,
-            "decode_p50_ms_batch": round(decode_p50_ms, 3),
-            "batch_size": batch_size,
-            "devices": n_chips,
-            "platform": jax.devices()[0].platform,
-        },
-    }
-    print(json.dumps(result))
+
+def _bench_dcn_ops(jax, jnp, sync, steps):
+    """Time the hot DLA DCN layer (16x128x128x64, 3x3) fwd and fwd+bwd."""
+    from centernet_uda_tpu.ops.dcn import dcn_v2
+
+    b, h, w, c = 16, 128, 128, 64
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32), jnp.bfloat16)
+    wgt = jnp.asarray(rng.randn(3, 3, c, c).astype(np.float32) * 0.05,
+                      jnp.bfloat16)
+    bias = jnp.zeros((c,), jnp.float32)
+    off = jnp.asarray(rng.randn(b, h, w, 18).astype(np.float32),
+                      jnp.bfloat16)
+    mask = jax.nn.sigmoid(jnp.asarray(
+        rng.randn(b, h, w, 9).astype(np.float32), jnp.bfloat16))
+
+    fwd = jax.jit(lambda *a: dcn_v2(*a))
+
+    def loss(xx, oo, mm, ww):
+        return jnp.sum(dcn_v2(xx, oo, mm, ww, bias).astype(jnp.float32))
+
+    bwd = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
+
+    y = fwd(x, off, mask, wgt, bias)
+    sync(y)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        y = fwd(x, off, mask, wgt, bias)
+    sync(y)
+    fwd_ms = (time.perf_counter() - t0) / steps * 1e3
+
+    g = bwd(x, off, mask, wgt)
+    sync(g)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        g = bwd(x, off, mask, wgt)
+    sync(g)
+    # fwd+bwd minus fwd ≈ bwd alone
+    bwd_ms = max((time.perf_counter() - t0) / steps * 1e3 - fwd_ms, 0.0)
+    return fwd_ms, bwd_ms
 
 
 if __name__ == "__main__":

@@ -64,6 +64,7 @@ class DataLoader:
         shard_id: int = 0,
         num_shards: int = 1,
         worker_mode: str = "thread",
+        pad_last: bool = False,
     ):
         """``batch_size`` is the PER-HOST batch. For multi-host training pass
         ``shard_id=jax.process_index()`` / ``num_shards=jax.process_count()``:
@@ -76,12 +77,20 @@ class DataLoader:
         whose Python-side augmentation contends on the GIL). Process mode
         forks: fork AFTER heavy accelerator-client activity can deadlock
         on runtime threads, so processes are forked on first iteration —
-        construct and iterate loaders early, or keep "thread"."""
+        construct and iterate loaders early, or keep "thread".
+
+        ``pad_last``: instead of a short final batch, pad it to
+        ``batch_size`` by repeating samples and record the real count in
+        the batch as ``_num_real``. Keeps every sample (the reference
+        evaluates the full split, train.py:168-194) while every batch
+        stays mesh-divisible and hits the same compiled executable."""
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = bool(shuffle)
         self.num_workers = int(num_workers)
-        self.drop_last = bool(drop_last) or num_shards > 1
+        self.pad_last = bool(pad_last)
+        self.drop_last = (not self.pad_last) and (
+            bool(drop_last) or num_shards > 1)
         self.prefetch = max(int(prefetch), 1)
         self.rng = np.random.RandomState(seed)
         self.shard_id = int(shard_id)
@@ -108,17 +117,33 @@ class DataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _index_batches(self):
+        """Yield (index_array, n_real) batches; n_real < batch_size only for
+        a padded final batch (``pad_last``)."""
         indices = self._shard_indices()
         if self.drop_last:
             usable = (len(indices) // self.batch_size) * self.batch_size
             indices = indices[:usable]
         for start in range(0, len(indices), self.batch_size):
-            yield indices[start : start + self.batch_size]
+            idx = indices[start : start + self.batch_size]
+            n_real = len(idx)
+            if self.pad_last and n_real < self.batch_size:
+                # repeat real samples to fill; consumers slice with _num_real
+                reps = -(-self.batch_size // n_real)
+                idx = np.tile(idx, reps)[: self.batch_size]
+            yield idx, n_real
+
+    @staticmethod
+    def _finish(samples, n_real: int) -> Dict[str, np.ndarray]:
+        batch = collate(samples)
+        if n_real < len(samples):
+            batch["_num_real"] = np.int64(n_real)
+        return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if self.num_workers <= 0:
-            for idx_batch in self._index_batches():
-                yield collate([self.dataset[int(i)] for i in idx_batch])
+            for idx_batch, n_real in self._index_batches():
+                yield self._finish(
+                    [self.dataset[int(i)] for i in idx_batch], n_real)
             return
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -154,21 +179,21 @@ class DataLoader:
                     result = lambda f: f.result()
 
                 pending = []
-                for idx_batch in self._index_batches():
+                for idx_batch, n_real in self._index_batches():
                     if stop.is_set():
                         return
                     futures = [submit(int(i)) for i in idx_batch]
-                    pending.append(futures)
+                    pending.append((futures, n_real))
                     # keep at most `prefetch` batches in flight
                     while len(pending) > self.prefetch:
-                        ready = pending.pop(0)
+                        ready, n_r = pending.pop(0)
                         if not put_or_stop(
-                            collate([result(f) for f in ready])
+                            self._finish([result(f) for f in ready], n_r)
                         ):
                             return
-                for ready in pending:
+                for ready, n_r in pending:
                     if not put_or_stop(
-                        collate([result(f) for f in ready])
+                        self._finish([result(f) for f in ready], n_r)
                     ):
                         return
             except Exception as exc:  # surface worker errors to the consumer

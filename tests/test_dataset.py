@@ -164,3 +164,32 @@ def test_loader_multihost_sharding(tiny_coco):
         assert len(ids) == 2  # 4 samples / 2 shards
     assert idx_sets[0].isdisjoint(idx_sets[1])
     assert idx_sets[0] | idx_sets[1] == {1, 2, 3, 4}
+
+
+def test_loader_pad_last(tiny_coco):
+    """pad_last pads the final batch to batch_size by repeating samples and
+    records the real count in _num_real; every sample is still covered once
+    (eval-set integrity, ref train.py:168-194 evaluates the full split)."""
+    ds = make_dataset(tiny_coco)
+    loader = DataLoader(ds, batch_size=3, pad_last=True)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["input"].shape[0] == 3
+    assert "_num_real" not in batches[0]
+    last = batches[1]
+    assert last["input"].shape[0] == 3  # padded to the full batch
+    assert int(last["_num_real"]) == 1
+    # padded rows are repeats of the real rows
+    np.testing.assert_array_equal(last["input"][1], last["input"][0])
+    ids = [int(i) for b in batches for i in b["id"][: int(
+        b.get("_num_real", b["id"].shape[0]))]]
+    assert sorted(ids) == [1, 2, 3, 4]
+
+
+def test_loader_pad_last_with_workers(tiny_coco):
+    ds = make_dataset(tiny_coco)
+    loader = DataLoader(ds, batch_size=3, pad_last=True, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert int(batches[1]["_num_real"]) == 1
+    assert batches[1]["input"].shape[0] == 3

@@ -214,3 +214,59 @@ def test_pallas_gate_envelope():
     assert not sup(16, 1280)         # MobileNetV2 neck head: VMEM budget
     assert not sup(64, 64, stride=2)
     assert not sup(64, 64, k=5)
+
+
+def test_slow_path_warnings(caplog):
+    """Every DCN configuration that leaves the fast Pallas path must say so
+    once at trace time (VERDICT r02: fallbacks were silent)."""
+    import logging
+
+    import flax.linen as nn_  # noqa: F401  (flax import side effects)
+
+    from centernet_uda_tpu.ops import dcn as dcn_mod
+
+    dcn_mod._SLOW_PATH_WARNED.clear()
+
+    rng = jax.random.PRNGKey(0)
+
+    # Cin > 512 -> XLA fallback warning
+    x_big = jnp.zeros((1, 8, 8, 600), jnp.float32)
+    mod = dcn_mod.DCN(features=8, use_pallas=True)
+    with caplog.at_level(logging.WARNING,
+                         logger="centernet_uda_tpu.ops.dcn"):
+        mod.init(rng, x_big)
+    assert any("Cin > 512" in r.message for r in caplog.records)
+    caplog.clear()
+
+    # W > 128 -> panel-tiled forward, XLA backward warning. The warning
+    # fires at trace time, so abstract evaluation is enough (the wide
+    # Pallas kernel itself cannot lower on the CPU test backend).
+    x_wide = jnp.zeros((1, 8, 200, 16), jnp.float32)
+    with caplog.at_level(logging.WARNING,
+                         logger="centernet_uda_tpu.ops.dcn"):
+        jax.eval_shape(dcn_mod.DCN(features=8, use_pallas=True).init,
+                       rng, x_wide)
+    assert any("backward differentiates through the XLA" in r.message
+               for r in caplog.records)
+    caplog.clear()
+
+    # unsupported geometry (5x5) while pallas requested
+    with caplog.at_level(logging.WARNING,
+                         logger="centernet_uda_tpu.ops.dcn"):
+        dcn_mod.DCN(features=8, kernel_size=(5, 5), padding=2,
+                    use_pallas=True).init(rng, jnp.zeros((1, 8, 16, 8)))
+    assert any("unsupported geometry" in r.message for r in caplog.records)
+    caplog.clear()
+
+    # dedupe: same shape+reason warns only once
+    with caplog.at_level(logging.WARNING,
+                         logger="centernet_uda_tpu.ops.dcn"):
+        dcn_mod.DCN(features=8, use_pallas=True).init(rng, x_big)
+    assert not any("Cin > 512" in r.message for r in caplog.records)
+
+    # XLA requested explicitly -> silent (not a fallback)
+    with caplog.at_level(logging.WARNING,
+                         logger="centernet_uda_tpu.ops.dcn"):
+        dcn_mod.DCN(features=8, use_pallas=False).init(
+            rng, jnp.zeros((1, 8, 8, 700)))
+    assert not caplog.records

@@ -117,3 +117,75 @@ def test_bn_sync_flag_builds_and_trains():
         assert np.isfinite(float(out["stats"]["total_loss"]))
     finally:
         model_common.set_bn_groups(1)
+
+
+def test_dla_sharded_step_matches_single_device():
+    """The FLAGSHIP under the mesh: DLA-34 (space-to-depth stem + DCN
+    custom paths; XLA DCN on the CPU test backend) sharded over all
+    virtual devices computes the same step as single-device."""
+    n = jax.device_count()
+    if n < 2:
+        pytest.skip("needs multiple devices")
+    batch_size = n  # one image per device keeps the CPU compile tractable
+
+    params = dict(backend_name="dla",
+                  backend_params={"num_classes": 3})
+    t1 = ge._build_trainer(batch_size=batch_size, input_size=64, **params)
+    t1.init_done()
+    batch = ge._tiny_batch(batch_size, 64, num_classes=3)
+    out1 = t1.step(batch, is_training=True)
+
+    t2 = ge._build_trainer(batch_size=batch_size, input_size=64, **params)
+    t2.mesh = MeshContext.create()
+    t2.init_done()
+    out2 = t2.step(batch, is_training=True)
+
+    np.testing.assert_allclose(
+        float(out1["stats"]["total_loss"]),
+        float(out2["stats"]["total_loss"]),
+        rtol=1e-4,
+    )
+    for a, b in zip(jax.tree.leaves(t1.state.params),
+                    jax.tree.leaves(t2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_advent_sharded_step():
+    """ADVENT under the mesh: the dual-optimizer state (backend + disc)
+    replicates, the sharded step matches single-device, and both
+    optimizers' params advance identically."""
+    n = jax.device_count()
+    if n < 2:
+        pytest.skip("needs multiple devices")
+    batch_size = 2 * n
+
+    def build(mesh):
+        t = ge._build_trainer(
+            batch_size=batch_size, input_size=64, backend_name="resnet",
+            backend_params={"num_layers": 18, "num_classes": 6,
+                            "pretrained": False},
+            uda="AdversarialEntropyMinimization",
+            uda_params={"adversarial_weight": 0.001},
+        )
+        if mesh:
+            t.mesh = MeshContext.create()
+        t.init_done()
+        return t
+
+    batch = ge._tiny_batch(batch_size, 64, with_target=True)
+
+    t1 = build(mesh=False)
+    out1 = t1.step(batch, is_training=True)
+    t2 = build(mesh=True)
+    out2 = t2.step(batch, is_training=True)
+
+    for key in ("total_loss", "adv_loss"):
+        if key in out1["stats"] and key in out2["stats"]:
+            np.testing.assert_allclose(float(out1["stats"][key]),
+                                       float(out2["stats"][key]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(t1.state.disc_params),
+                    jax.tree.leaves(t2.state.disc_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    for a, b in zip(jax.tree.leaves(t1.state.params),
+                    jax.tree.leaves(t2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

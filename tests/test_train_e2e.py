@@ -120,3 +120,35 @@ def test_resume_from_checkpoint(tiny_env):
     finally:
         os.chdir(cwd)
     assert np.isfinite(scalars["training/total_loss"])
+
+
+def test_eval_covers_full_split_with_partial_batch(tiny_env, monkeypatch):
+    """batch_size does not divide the 6-image split (4 -> batches of 4+2pad):
+    the padded final batch must still deliver every sample to the evaluator
+    exactly once (the reference evaluates the full split, train.py:168-194)."""
+    root, img_dir, anno = tiny_env
+    _write_configs(root, img_dir, anno)
+
+    from centernet_uda_tpu.evaluation.coco import Evaluator
+
+    seen_ids = []
+    orig = Evaluator.add_batch
+
+    def counting_add_batch(self, *args, **kwargs):
+        seen_ids.extend(int(i) for i in kwargs["gt_ids"])
+        return orig(self, *args, **kwargs)
+
+    monkeypatch.setattr(Evaluator, "add_batch", counting_add_batch)
+
+    from centernet_uda_tpu import train as train_app
+
+    cwd = os.getcwd()
+    os.chdir(root)
+    try:
+        scalars = train_app.main(
+            ["experiment=tiny_e2e", "batch_size=4", "epochs=1"])
+    finally:
+        os.chdir(cwd)
+
+    assert sorted(seen_ids) == [1, 2, 3, 4, 5, 6]
+    assert "MSCOCO_Precision/mAP" in scalars

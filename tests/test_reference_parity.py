@@ -1,0 +1,152 @@
+"""Cross-framework numeric parity vs the REAL reference code, in-image.
+
+VERDICT r02 #5: torch (CPU) is installed, so the reference backend modules
+(`/root/reference/backends/resnet.py`, `mobilenetv2.py`) can run their
+actual neck / heads / forward code on random weights. The trunk the
+reference would ``torch.hub.load`` (no egress here) is supplied by
+structure-identical twins (``tests/torch_twins.py``). Protocol per backend:
+
+1. build the reference torch module (pretrained=False, eval mode),
+2. ``state_dict()`` -> ``torch.save`` in the reference checkpoint format,
+3. import into the Flax model via ``utils/torch_import`` (the production
+   `.pth` path),
+4. same random input through both; assert every head agrees to ~1e-4.
+
+This converts "the import shims round-trip" into "the Flax models compute
+the same function as the reference" — architecture + import fidelity in
+one bound. DLA / EfficientNet are excluded: DLA's forward needs the
+compiled DCNv2 CUDA extension, EfficientNet the lukemelas hub package,
+neither available in-image (their torch-import shims are covered by
+round-trip tests in test_torch_import.py).
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+
+from centernet_uda_tpu import models  # noqa: E402
+from centernet_uda_tpu.utils import torch_import as ti  # noqa: E402
+from tests import torch_twins  # noqa: E402
+
+REFERENCE = Path("/root/reference")
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not REFERENCE.exists(),
+                       reason="reference checkout not mounted"),
+]
+
+
+@pytest.fixture()
+def reference_backends(monkeypatch):
+    """Import the reference backend modules with hub/DCN shims in place."""
+    monkeypatch.setattr(torch.hub, "load", torch_twins.fake_hub_load)
+    monkeypatch.syspath_prepend(str(REFERENCE))
+    # backends/mobilenetv2.py imports the compiled DCNv2 extension at module
+    # scope; it is unused with use_dcn=False — stub the import only.
+    import types
+
+    libs = types.ModuleType("libs")
+    dcnv2_pkg = types.ModuleType("libs.DCNv2")
+    dcn_v2_mod = types.ModuleType("libs.DCNv2.dcn_v2")
+    dcn_v2_mod.DCN = None  # would fail loudly if actually constructed
+    monkeypatch.setitem(sys.modules, "libs", libs)
+    monkeypatch.setitem(sys.modules, "libs.DCNv2", dcnv2_pkg)
+    monkeypatch.setitem(sys.modules, "libs.DCNv2.dcn_v2", dcn_v2_mod)
+    for name in ("backends", "backends.resnet", "backends.mobilenetv2"):
+        sys.modules.pop(name, None)
+    import backends.mobilenetv2 as ref_mnv2  # noqa: E402
+    import backends.resnet as ref_resnet  # noqa: E402
+
+    yield {"resnet": ref_resnet, "mobilenetv2": ref_mnv2}
+    for name in ("backends", "backends.resnet", "backends.mobilenetv2"):
+        sys.modules.pop(name, None)
+
+
+def _save_reference_ckpt(ref_model, path):
+    torch.save({"epoch": 1, "state_dict": ref_model.state_dict()}, path)
+
+
+def _flax_forward(backend, variables, x_nchw):
+    x = np.transpose(x_nchw, (0, 2, 3, 1))  # NCHW -> NHWC
+    out = backend.module.apply(variables, x, train=False)
+    return {k: np.transpose(np.asarray(v), (0, 3, 1, 2)) for k, v in
+            out.items()}
+
+
+def _compare_heads(ref_out, flax_out, atol):
+    assert set(ref_out) == set(flax_out)
+    for head, ref_v in ref_out.items():
+        got = flax_out[head]
+        ref_np = ref_v.detach().numpy()
+        assert got.shape == ref_np.shape, head
+        np.testing.assert_allclose(
+            got, ref_np, atol=atol, rtol=1e-4,
+            err_msg=f"head {head!r} diverges from the reference forward")
+
+
+def test_resnet18_matches_reference_forward(reference_backends, tmp_path):
+    torch_twins.seed_all(0)
+    ref = reference_backends["resnet"].build(
+        num_layers=18, num_classes=4, pretrained=False)
+    ref.eval()
+    ckpt = tmp_path / "ref_resnet18.pth"
+    _save_reference_ckpt(ref, ckpt)
+
+    backend = models.build("resnet", num_layers=18, num_classes=4,
+                           pretrained=False)
+    variables = backend.init(jax.random.PRNGKey(0), (64, 64))
+    variables = ti.import_state_dict(str(ckpt), variables, "resnet18")
+
+    x = np.random.RandomState(3).randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))
+    flax_out = _flax_forward(backend, variables, x)
+    _compare_heads(ref_out, flax_out, atol=5e-4)
+
+
+def test_resnet50_matches_reference_forward(reference_backends, tmp_path):
+    torch_twins.seed_all(1)
+    ref = reference_backends["resnet"].build(
+        num_layers=50, num_classes=3, pretrained=False)
+    ref.eval()
+    ckpt = tmp_path / "ref_resnet50.pth"
+    _save_reference_ckpt(ref, ckpt)
+
+    backend = models.build("resnet", num_layers=50, num_classes=3,
+                           pretrained=False)
+    variables = backend.init(jax.random.PRNGKey(0), (64, 64))
+    variables = ti.import_state_dict(str(ckpt), variables, "resnet50")
+
+    x = np.random.RandomState(4).randn(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))
+    flax_out = _flax_forward(backend, variables, x)
+    _compare_heads(ref_out, flax_out, atol=5e-4)
+
+
+def test_mobilenetv2_skips_match_reference_forward(reference_backends,
+                                                   tmp_path):
+    torch_twins.seed_all(2)
+    ref = reference_backends["mobilenetv2"].build(
+        num_classes=5, pretrained=False, use_dcn=False, use_skip=True)
+    ref.eval()
+    ckpt = tmp_path / "ref_mnv2.pth"
+    _save_reference_ckpt(ref, ckpt)
+
+    backend = models.build("mobilenetv2", num_classes=5, pretrained=False,
+                           use_dcn=False, use_skip=True)
+    variables = backend.init(jax.random.PRNGKey(0), (64, 64))
+    variables = ti.import_state_dict(str(ckpt), variables, "mobilenetv2")
+
+    x = np.random.RandomState(5).randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))
+    flax_out = _flax_forward(backend, variables, x)
+    _compare_heads(ref_out, flax_out, atol=5e-4)

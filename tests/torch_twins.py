@@ -1,0 +1,198 @@
+"""torchvision-compatible torch trunks for cross-framework parity tests.
+
+The reference backends fetch their trunks with ``torch.hub.load`` at build
+time (backends/resnet.py:27-30, backends/mobilenetv2.py:31-36); this image
+has no network egress and no torchvision, so these twins reproduce the
+torchvision module *structure* — identical ``state_dict()`` key layout and
+identical ``children()`` order (the reference wraps
+``Sequential(*children()[:-2])``) — letting ``tests/test_reference_parity``
+instantiate the REAL reference backend modules (their neck / heads /
+forward code verbatim) and compare them numerically against the Flax
+models after a ``torch_import`` round trip.
+
+Structure transcribed from the public torchvision 0.6 sources (resnet.py,
+mobilenet.py) that `pytorch/vision:v0.6.0` resolves to.
+"""
+
+from __future__ import annotations
+
+import torch
+from torch import nn
+
+
+# ---------------------------------------------------------------------------
+# ResNet (BasicBlock variants: 18/34)
+# ---------------------------------------------------------------------------
+
+
+class BasicBlock(nn.Module):
+    expansion = 1
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.relu = nn.ReLU(inplace=True)
+        self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """Attribute order matches torchvision so ``children()[:-2]`` slices
+    away exactly (avgpool, fc) like backends/resnet.py:30."""
+
+    def __init__(self, block, layers, num_classes=1000):
+        super().__init__()
+        self.inplanes = 64
+        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        self.layer1 = self._make_layer(block, 64, layers[0])
+        self.layer2 = self._make_layer(block, 128, layers[1], stride=2)
+        self.layer3 = self._make_layer(block, 256, layers[2], stride=2)
+        self.layer4 = self._make_layer(block, 512, layers[3], stride=2)
+        self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+        self.fc = nn.Linear(512 * block.expansion, num_classes)
+
+    def _make_layer(self, block, planes, blocks, stride=1):
+        downsample = None
+        if stride != 1 or self.inplanes != planes * block.expansion:
+            downsample = nn.Sequential(
+                nn.Conv2d(self.inplanes, planes * block.expansion, 1,
+                          stride, bias=False),
+                nn.BatchNorm2d(planes * block.expansion),
+            )
+        layers = [block(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes * block.expansion
+        layers += [block(self.inplanes, planes) for _ in range(1, blocks)]
+        return nn.Sequential(*layers)
+
+
+_RESNET_LAYERS = {
+    18: (BasicBlock, [2, 2, 2, 2]),
+    34: (BasicBlock, [3, 4, 6, 3]),
+    50: (Bottleneck, [3, 4, 6, 3]),
+    101: (Bottleneck, [3, 4, 23, 3]),
+    152: (Bottleneck, [3, 8, 36, 3]),
+}
+
+
+def resnet(num_layers: int) -> ResNet:
+    block, layers = _RESNET_LAYERS[num_layers]
+    return ResNet(block, layers)
+
+
+# ---------------------------------------------------------------------------
+# MobileNetV2 (torchvision 0.6 ``mobilenet_v2().features``)
+# ---------------------------------------------------------------------------
+
+
+class ConvBNReLU(nn.Sequential):
+    def __init__(self, in_planes, out_planes, kernel_size=3, stride=1,
+                 groups=1):
+        padding = (kernel_size - 1) // 2
+        super().__init__(
+            nn.Conv2d(in_planes, out_planes, kernel_size, stride, padding,
+                      groups=groups, bias=False),
+            nn.BatchNorm2d(out_planes),
+            nn.ReLU6(inplace=True),
+        )
+
+
+class InvertedResidual(nn.Module):
+    def __init__(self, inp, oup, stride, expand_ratio):
+        super().__init__()
+        hidden_dim = int(round(inp * expand_ratio))
+        self.use_res_connect = stride == 1 and inp == oup
+        layers = []
+        if expand_ratio != 1:
+            layers.append(ConvBNReLU(inp, hidden_dim, kernel_size=1))
+        layers.extend([
+            ConvBNReLU(hidden_dim, hidden_dim, stride=stride,
+                       groups=hidden_dim),
+            nn.Conv2d(hidden_dim, oup, 1, 1, 0, bias=False),
+            nn.BatchNorm2d(oup),
+        ])
+        self.conv = nn.Sequential(*layers)
+
+    def forward(self, x):
+        if self.use_res_connect:
+            return x + self.conv(x)
+        return self.conv(x)
+
+
+class MobileNetV2(nn.Module):
+    def __init__(self):
+        super().__init__()
+        setting = [
+            # t, c, n, s
+            (1, 16, 1, 1),
+            (6, 24, 2, 2),
+            (6, 32, 3, 2),
+            (6, 64, 4, 2),
+            (6, 96, 3, 1),
+            (6, 160, 3, 2),
+            (6, 320, 1, 1),
+        ]
+        features = [ConvBNReLU(3, 32, stride=2)]
+        input_channel = 32
+        for t, c, n, s in setting:
+            for i in range(n):
+                stride = s if i == 0 else 1
+                features.append(
+                    InvertedResidual(input_channel, c, stride, t))
+                input_channel = c
+        features.append(ConvBNReLU(input_channel, 1280, kernel_size=1))
+        self.features = nn.Sequential(*features)
+
+
+def mobilenet_v2() -> MobileNetV2:
+    return MobileNetV2()
+
+
+def fake_hub_load(repo, model, pretrained=False, **kw):
+    """Drop-in for ``torch.hub.load('pytorch/vision:v0.6.0', name, ...)``."""
+    assert not pretrained, "twins carry no pretrained weights"
+    if model == "mobilenet_v2":
+        return mobilenet_v2()
+    if model.startswith("resnet"):
+        return resnet(int(model[len("resnet"):]))
+    raise KeyError(model)
+
+
+def seed_all(seed: int = 0) -> None:
+    torch.manual_seed(seed)

@@ -78,25 +78,38 @@ def get_pallas_default() -> bool:
 
 
 def _pallas_supported(x, weight, stride, padding, dilation) -> bool:
-    """The Pallas kernel covers the config every backend uses: 3x3 / s1 /
-    p1 / d1 with W <= 128 (lane extent)."""
+    """Whether the Pallas generation routed to this shape covers it.
+
+    Geometry: 3x3 / s1 / p1 / d1 — the configuration every reference
+    backend uses. Per-shape routing (``dcn_pallas.generation_for``,
+    default "auto"): the measured-fastest "lanes" kernels inside their
+    native envelope (8 <= W <= 128, Cin <= 512), the "nhwc"
+    slice-and-select kernels — no width or channel special cases beyond a
+    VMEM estimate — everywhere else. Forced "lanes" keeps its wider
+    panel-forward envelope (W <= 1024) for A/B runs.
+    """
+    from centernet_uda_tpu.ops import dcn_pallas
+
     kh, kw = weight.shape[:2]
-    w = x.shape[2]
+    h, w, cin = x.shape[1], x.shape[2], x.shape[-1]
+    if ((kh, kw) != (3, 3) or _pair(stride) != (1, 1)
+            or _pair(padding) != (1, 1) or _pair(dilation) != (1, 1)):
+        return False
+    if dcn_pallas.generation_for(x.shape) == "nhwc":
+        # backward working set: padded x (bf16) + padded dx (f32) resident
+        # in VMEM per image, plus row-block scratches
+        pad = 2 * (PALLAS_MAX_SHIFT + 2)
+        resident = (h + pad) * (w + pad) * cin * (2 + 4)
+        return resident <= 80 * 1024 * 1024
     return (
-        (kh, kw) == (3, 3)
-        and _pair(stride) == (1, 1)
-        and _pair(padding) == (1, 1)
-        and _pair(dilation) == (1, 1)
         # small maps waste lanes (W of 128) but still beat the XLA gather
         # path by ~10x (they lane-pack, see dcn_pallas._pack_factor); wide
-        # maps (the 800px eval pyramid, W=200) tile into overlapping
-        # 128-lane panels with horizontal offsets clamped like vertical
-        and 8 <= w <= 1024
+        # maps (forced-lanes A/B only; "auto" routes W > 128 to nhwc) tile
+        # into overlapping 128-lane panels
+        8 <= w <= 1024
         # VMEM budget: the backward keeps the whole-image dx block, the
-        # 9-tap sample/gcol scratches and the feature block resident —
-        # beyond Cin=512 (DLA's max; MobileNetV2's 1280-ch neck head) the
-        # working set exceeds VMEM, so those layers use the XLA path
-        and x.shape[-1] <= 512
+        # 9-tap sample/gcol scratches and the feature block resident
+        and cin <= 512
     )
 
 
@@ -120,23 +133,33 @@ def _warn_slow_path(x, cin: int, reason: str) -> None:
 def _note_pallas_fallbacks(x, cin: int, requested_pallas: bool,
                            supported: bool) -> None:
     """Surface every configuration that leaves the fast path (VERDICT r02
-    weak #4): Cin>512 forward fallback, W>128 backward fallback, or an
-    unsupported conv geometry while ``dcn_impl`` asked for Pallas."""
+    weak #4): an unsupported geometry / working set while ``dcn_impl``
+    asked for Pallas, and — under forced "lanes" kernels — the W>128
+    XLA backward fallback."""
+    from centernet_uda_tpu.ops import dcn_pallas as dp
+
     if not requested_pallas:
         return
     w = x.shape[2]
+    gen = dp.generation_for(x.shape)
     if not supported:
-        if cin > 512:
+        if gen == "nhwc":
             _warn_slow_path(
                 x, cin,
-                "Cin > 512 exceeds the kernel's VMEM working set; forward "
-                "and backward use the XLA gather formulation")
+                "outside the NHWC Pallas kernel envelope (needs 3x3 / "
+                "stride 1 / pad 1 / dilation 1 and a VMEM-resident padded "
+                "image); XLA path")
+        elif cin > 512:
+            _warn_slow_path(
+                x, cin,
+                "Cin > 512 exceeds the lanes kernel's VMEM working set; "
+                "forward and backward use the XLA gather formulation")
         else:
             _warn_slow_path(
                 x, cin,
                 "unsupported geometry for the Pallas kernel (needs 3x3 / "
                 "stride 1 / pad 1 / dilation 1, 8 <= W <= 1024); XLA path")
-    elif w > 128:
+    elif gen == "lanes" and w > 128:
         _warn_slow_path(
             x, cin,
             f"W={w} > 128: forward runs panel-tiled Pallas, but the "
@@ -159,13 +182,16 @@ def _dcn_pallas_fwd(x, offset, mask, weight, bias):
 
 
 def _dcn_pallas_bwd(res, g):
-    """Fused Pallas backward (ops/dcn_pallas.py: recomputed shift-and-select
-    sampling + one-hot MXU scatter for dx) with the same vertical-offset
-    clamp semantics as the forward. Wide maps (W > 128, panel-tiled
-    forward) differentiate through the XLA formulation with both offset
-    clamps applied — eval-resolution training is not on the hot path."""
+    """Fused Pallas backward with the same offset-clamp semantics as the
+    forward generation routed to this shape. Under "auto" every supported
+    shape has a fused Pallas backward (lanes in its native envelope, nhwc
+    beyond it); only FORCED "lanes" on wide maps (W > 128, panel-tiled
+    forward) differentiates through the XLA formulation with both clamps
+    applied."""
+    from centernet_uda_tpu.ops import dcn_pallas as dp
+
     x, offset, mask, weight, bias = res
-    if x.shape[2] > 128:
+    if dp.generation_for(x.shape) == "lanes" and x.shape[2] > 128:
         def ref(x, offset, mask, weight, bias):
             k = mask.shape[-1]
             off = offset.reshape(offset.shape[:-1] + (k, 2))
@@ -384,12 +410,18 @@ class DCN(nn.Module):
             self.stride, self.padding, self.dilation)
         _note_pallas_fallbacks(x, cin, bool(use_pallas), pallas_active)
         if pallas_active:
-            # surface the vertical-offset magnitude so training can detect
-            # saturation of the Pallas clamp (collected into the step stats
-            # as ``dcn_max_abs_dy``; uda/base.py). Interleaved layout: even
-            # channels are dy.
+            # surface the offset magnitude so training can detect saturation
+            # of the Pallas clamp (collected into the step stats as
+            # ``dcn_max_abs_dy``; uda/base.py). Shapes routed to the nhwc
+            # kernels clamp both components, so monitor the full offset
+            # tensor there; the lanes kernels clamp only dy (even channels)
+            # in their native W<=128 envelope.
+            from centernet_uda_tpu.ops import dcn_pallas as _dp
+
+            monitored = (offset if _dp.generation_for(x.shape) == "nhwc"
+                         else offset[..., 0::2])
             self.sow("intermediates", "max_abs_dy",
-                     jnp.max(jnp.abs(offset[..., 0::2].astype(jnp.float32))))
+                     jnp.max(jnp.abs(monitored.astype(jnp.float32))))
         op = partial(
             dcn_v2,
             stride=self.stride,

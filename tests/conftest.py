@@ -49,12 +49,17 @@ _SLOW = (
     "test_dla.py::test_hm_bias_init",
     "test_dla.py::test_s2d_stem_matches_plain_stem",
     "test_dcn_pallas.py::test_non_divisible_height",
-    "test_dcn_pallas.py::test_custom_vjp_backward_matches_clamped_xla",
+    "test_dcn_pallas.py::test_backward_matches_clamped_xla",
     "test_dcn_pallas.py::test_matches_xla_within_clamp",
     "test_dcn_pallas.py::test_lane_packed_small_maps",
-    "test_dcn_pallas.py::test_wide_map_panels",
-    "test_dcn_pallas.py::test_vertical_clamp_semantics",
+    "test_dcn_pallas.py::test_wide_maps",
+    "test_dcn_pallas.py::test_wide_map_fused_backward_nhwc",
+    "test_dcn_pallas.py::test_large_cin_nhwc",
+    "test_dcn_pallas.py::test_bf16_input_nhwc",
+    "test_dcn_pallas.py::test_clamp_semantics",
     "test_dcn_pallas.py::test_zero_offsets_exact_structure",
+    "test_multihost.py",
+    "test_reference_parity.py",
     "test_models.py::TestResNet",
     "test_dcn.py::test_gradcheck",
 )

@@ -197,23 +197,48 @@ def test_dcn_module_sows_offset_monitor(rng):
 
 
 def test_pallas_gate_envelope():
-    """_pallas_supported covers exactly the documented envelope."""
+    """_pallas_supported covers exactly the documented per-generation
+    envelope."""
     import jax.numpy as jnp
 
+    from centernet_uda_tpu.ops import dcn_pallas
     from centernet_uda_tpu.ops.dcn import _pallas_supported
 
-    def sup(w, cin, stride=1, k=3):
-        x = jnp.zeros((1, 8, w, cin))
+    def sup(w, cin, stride=1, k=3, h=8):
+        x = jnp.zeros((1, h, w, cin))
         wgt = jnp.zeros((k, k, cin, 8))
         return _pallas_supported(x, wgt, stride, 1, 1)
 
-    assert sup(8, 64) and sup(128, 64) and sup(200, 64) and sup(1024, 64)
-    assert not sup(4, 64)            # below the minimum width
-    assert not sup(2000, 64)         # beyond the panel budget
-    assert sup(16, 512)
-    assert not sup(16, 1280)         # MobileNetV2 neck head: VMEM budget
-    assert not sup(64, 64, stride=2)
-    assert not sup(64, 64, k=5)
+    old = dcn_pallas.get_kernel_version()
+    try:
+        # default "auto": lanes envelope OR nhwc envelope — every reference
+        # backend shape (incl. MobileNetV2's 1280-ch head and the 800px
+        # pyramid) is on SOME fused Pallas path
+        dcn_pallas.set_kernel_version("auto")
+        assert sup(8, 64) and sup(128, 64) and sup(200, 64)
+        assert sup(16, 1280) and sup(4, 64) and sup(200, 64, h=200)
+        assert not sup(512, 512, h=512)  # padded image exceeds VMEM
+        assert not sup(64, 64, stride=2) and not sup(64, 64, k=5)
+
+        dcn_pallas.set_kernel_version("lanes")
+        assert sup(8, 64) and sup(128, 64) and sup(200, 64) and sup(1024, 64)
+        assert not sup(4, 64)            # below the minimum width
+        assert not sup(2000, 64)         # beyond the panel budget
+        assert sup(16, 512)
+        assert not sup(16, 1280)         # MobileNetV2 neck head: VMEM budget
+        assert not sup(64, 64, stride=2)
+        assert not sup(64, 64, k=5)
+
+        dcn_pallas.set_kernel_version("nhwc")
+        # no width or channel special cases — only geometry + VMEM
+        assert sup(4, 64) and sup(128, 64) and sup(200, 64)
+        assert sup(16, 1280)             # MobileNetV2 neck head: fast path
+        assert sup(16, 512) and sup(200, 64, h=200)
+        assert not sup(512, 512, h=512)  # padded image exceeds VMEM
+        assert not sup(64, 64, stride=2)
+        assert not sup(64, 64, k=5)
+    finally:
+        dcn_pallas.set_kernel_version(old)
 
 
 def test_slow_path_warnings(caplog):
@@ -224,49 +249,85 @@ def test_slow_path_warnings(caplog):
     import flax.linen as nn_  # noqa: F401  (flax import side effects)
 
     from centernet_uda_tpu.ops import dcn as dcn_mod
+    from centernet_uda_tpu.ops import dcn_pallas
 
     dcn_mod._SLOW_PATH_WARNED.clear()
-
     rng = jax.random.PRNGKey(0)
+    old = dcn_pallas.get_kernel_version()
 
-    # Cin > 512 -> XLA fallback warning
-    x_big = jnp.zeros((1, 8, 8, 600), jnp.float32)
-    mod = dcn_mod.DCN(features=8, use_pallas=True)
-    with caplog.at_level(logging.WARNING,
-                         logger="centernet_uda_tpu.ops.dcn"):
-        mod.init(rng, x_big)
-    assert any("Cin > 512" in r.message for r in caplog.records)
-    caplog.clear()
+    try:
+        # ----- default "auto": wide / deep maps route to nhwc, so the
+        # round-2 fallback shapes are all on a fused fast path (silent)
+        dcn_pallas.set_kernel_version("auto")
+        with caplog.at_level(logging.WARNING,
+                             logger="centernet_uda_tpu.ops.dcn"):
+            jax.eval_shape(dcn_mod.DCN(features=8, use_pallas=True).init,
+                           rng, jnp.zeros((1, 8, 8, 600), jnp.float32))
+            jax.eval_shape(dcn_mod.DCN(features=8, use_pallas=True).init,
+                           rng, jnp.zeros((1, 8, 200, 16), jnp.float32))
+        assert not caplog.records
 
-    # W > 128 -> panel-tiled forward, XLA backward warning. The warning
-    # fires at trace time, so abstract evaluation is enough (the wide
-    # Pallas kernel itself cannot lower on the CPU test backend).
-    x_wide = jnp.zeros((1, 8, 200, 16), jnp.float32)
-    with caplog.at_level(logging.WARNING,
-                         logger="centernet_uda_tpu.ops.dcn"):
-        jax.eval_shape(dcn_mod.DCN(features=8, use_pallas=True).init,
-                       rng, x_wide)
-    assert any("backward differentiates through the XLA" in r.message
-               for r in caplog.records)
-    caplog.clear()
+        # ----- forced "lanes" generation fallbacks -----
+        dcn_pallas.set_kernel_version("lanes")
 
-    # unsupported geometry (5x5) while pallas requested
-    with caplog.at_level(logging.WARNING,
-                         logger="centernet_uda_tpu.ops.dcn"):
-        dcn_mod.DCN(features=8, kernel_size=(5, 5), padding=2,
-                    use_pallas=True).init(rng, jnp.zeros((1, 8, 16, 8)))
-    assert any("unsupported geometry" in r.message for r in caplog.records)
-    caplog.clear()
+        # Cin > 512 -> XLA fallback warning
+        x_big = jnp.zeros((1, 8, 8, 600), jnp.float32)
+        with caplog.at_level(logging.WARNING,
+                             logger="centernet_uda_tpu.ops.dcn"):
+            dcn_mod.DCN(features=8, use_pallas=True).init(rng, x_big)
+        assert any("Cin > 512" in r.message for r in caplog.records)
+        caplog.clear()
 
-    # dedupe: same shape+reason warns only once
-    with caplog.at_level(logging.WARNING,
-                         logger="centernet_uda_tpu.ops.dcn"):
-        dcn_mod.DCN(features=8, use_pallas=True).init(rng, x_big)
-    assert not any("Cin > 512" in r.message for r in caplog.records)
+        # W > 128 -> panel-tiled forward, XLA backward warning. The warning
+        # fires at trace time, so abstract evaluation is enough (the wide
+        # Pallas kernel itself cannot lower on the CPU test backend).
+        x_wide = jnp.zeros((1, 8, 200, 16), jnp.float32)
+        with caplog.at_level(logging.WARNING,
+                             logger="centernet_uda_tpu.ops.dcn"):
+            jax.eval_shape(dcn_mod.DCN(features=8, use_pallas=True).init,
+                           rng, x_wide)
+        assert any("backward differentiates through the XLA" in r.message
+                   for r in caplog.records)
+        caplog.clear()
 
-    # XLA requested explicitly -> silent (not a fallback)
-    with caplog.at_level(logging.WARNING,
-                         logger="centernet_uda_tpu.ops.dcn"):
-        dcn_mod.DCN(features=8, use_pallas=False).init(
-            rng, jnp.zeros((1, 8, 8, 700)))
-    assert not caplog.records
+        # unsupported geometry (5x5) while pallas requested
+        with caplog.at_level(logging.WARNING,
+                             logger="centernet_uda_tpu.ops.dcn"):
+            dcn_mod.DCN(features=8, kernel_size=(5, 5), padding=2,
+                        use_pallas=True).init(rng, jnp.zeros((1, 8, 16, 8)))
+        assert any("unsupported geometry" in r.message
+                   for r in caplog.records)
+        caplog.clear()
+
+        # dedupe: same shape+reason warns only once
+        with caplog.at_level(logging.WARNING,
+                             logger="centernet_uda_tpu.ops.dcn"):
+            dcn_mod.DCN(features=8, use_pallas=True).init(rng, x_big)
+        assert not any("Cin > 512" in r.message for r in caplog.records)
+
+        # ----- "nhwc" generation (default): no Cin/W fallbacks ... -----
+        dcn_pallas.set_kernel_version("nhwc")
+        with caplog.at_level(logging.WARNING,
+                             logger="centernet_uda_tpu.ops.dcn"):
+            jax.eval_shape(dcn_mod.DCN(features=8, use_pallas=True).init,
+                           rng, x_big)
+            jax.eval_shape(dcn_mod.DCN(features=8, use_pallas=True).init,
+                           rng, x_wide)
+        assert not caplog.records
+        # ... but geometry outside 3x3/s1/p1/d1 still warns
+        with caplog.at_level(logging.WARNING,
+                             logger="centernet_uda_tpu.ops.dcn"):
+            dcn_mod.DCN(features=8, kernel_size=(5, 5), padding=2,
+                        use_pallas=True).init(rng, jnp.zeros((1, 8, 18, 8)))
+        assert any("NHWC Pallas kernel envelope" in r.message
+                   for r in caplog.records)
+        caplog.clear()
+
+        # XLA requested explicitly -> silent (not a fallback)
+        with caplog.at_level(logging.WARNING,
+                             logger="centernet_uda_tpu.ops.dcn"):
+            dcn_mod.DCN(features=8, use_pallas=False).init(
+                rng, jnp.zeros((1, 8, 8, 700)))
+        assert not caplog.records
+    finally:
+        dcn_pallas.set_kernel_version(old)

@@ -95,12 +95,25 @@ def _pallas_supported(x, weight, stride, padding, dilation) -> bool:
     if ((kh, kw) != (3, 3) or _pair(stride) != (1, 1)
             or _pair(padding) != (1, 1) or _pair(dilation) != (1, 1)):
         return False
-    if dcn_pallas.generation_for(x.shape) == "nhwc":
+    cout = weight.shape[3]
+    # the fused backwards accumulate the full (9, Cin, Cout) dW in VMEM
+    # (scratch + double-buffered output window) — an unrealistically fat
+    # layer (e.g. Cin=Cout=1280) must fall back to XLA instead of dying
+    # in the Mosaic VMEM allocator
+    dw_resident = 3 * 9 * cin * cout * 4
+    gen = dcn_pallas.generation_for(x.shape)
+    if gen == "select":
+        # backward working set: H-padded x (bf16) + H-padded dx (f32)
+        # resident in VMEM per image, plus row-block scratches
+        pad = 2 * (PALLAS_MAX_SHIFT + 2)
+        resident = (h + pad) * w * cin * (2 + 4)
+        return resident + dw_resident <= 80 * 1024 * 1024
+    if gen == "nhwc":
         # backward working set: padded x (bf16) + padded dx (f32) resident
         # in VMEM per image, plus row-block scratches
         pad = 2 * (PALLAS_MAX_SHIFT + 2)
         resident = (h + pad) * (w + pad) * cin * (2 + 4)
-        return resident <= 80 * 1024 * 1024
+        return resident + dw_resident <= 80 * 1024 * 1024
     return (
         # small maps waste lanes (W of 128) but still beat the XLA gather
         # path by ~10x (they lane-pack, see dcn_pallas._pack_factor); wide
@@ -143,7 +156,13 @@ def _note_pallas_fallbacks(x, cin: int, requested_pallas: bool,
     w = x.shape[2]
     gen = dp.generation_for(x.shape)
     if not supported:
-        if gen == "nhwc":
+        if gen == "select":
+            _warn_slow_path(
+                x, cin,
+                "outside the select Pallas kernel envelope (needs 3x3 / "
+                "stride 1 / pad 1 / dilation 1 and a VMEM-resident padded "
+                "image); XLA path")
+        elif gen == "nhwc":
             _warn_slow_path(
                 x, cin,
                 "outside the NHWC Pallas kernel envelope (needs 3x3 / "

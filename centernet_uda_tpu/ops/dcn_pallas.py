@@ -5,16 +5,18 @@ rows/s on v5e): 4 corners x 9 taps x HW gathers per image make the big DLA
 layers ~40x slower than a plain conv. This kernel restructures the sampling
 for the TPU's actual shuffle hardware:
 
-- **x-lookup**: Mosaic's ``tpu.dynamic_gather`` along lanes — a per-row
-  128-extent shuffle running at VPU rate — resolves the horizontal sample
-  position exactly.
+- **x-lookup on the MXU**: the bilinear corner weights of both x-corners
+  fold into ONE one-hot select matrix ``S[r, src_lane, dst_lane]``, so
+  resolving the horizontal sample position is a single batched bf16
+  matmul per (tap, shift) — measured faster than both a lane gather and
+  a shift-and-roll loop at every offset scale on v5e.
 - **y-lookup**: a *shift-and-select* loop over bounded row displacements
-  ``d``: for each candidate shift, the (row-shifted) feature map is
-  lane-gathered once and accumulated under the per-pixel selection mask
-  ``floor(py) - row == d``. Shifts with no selected pixels are skipped at
-  run time (``lax.cond``), so the loop cost tracks the *actual* offset
+  ``d`` whose trip range is the block's ACTUAL displacement extent
+  (``min/max(floor(py) - row)``), so the loop cost tracks the offset
   spread — near-zero offsets (the zero-initialized ``conv_offset_mask``
-  regime, dcn_v2.py:119-121) activate only ~2 shifts per tap.
+  regime, dcn_v2.py:119-121) visit only ~2 shifts per tap. No per-shift
+  ``lax.cond``: within the dynamic bounds nearly every shift is active,
+  and the cond was measured to cost more than the work it skips.
 - the 3x3 tap matmuls run on the MXU per row-block
   (``dot_general`` batched over rows), accumulating the output in fp32.
 
@@ -22,17 +24,21 @@ Scope (asserted): kernel 3x3, stride 1, padding 1, dilation 1,
 deformable_groups 1 — exactly the configuration every reference backend
 uses (backends/dla.py:358-367, backends/mobilenetv2.py:146-148).
 
-TWO kernel generations live here; the default "auto" mode routes each map
-shape to the measured-fastest one (``generation_for``):
+THREE kernel generations live here; the default "auto" mode routes each
+map shape to the measured-fastest one (``generation_for``):
 - "lanes" (this banner's design, fastest inside its envelope): W <= 128
-  native (lane-gather extent; small maps lane-pack several images per
-  128-lane register row, ``_pack_factor``), Cin <= 512. Auto routes every
-  such shape here. Forced-lanes also panel-tiles W > 128 forwards.
-- "nhwc" (see the section banner further down): slice-and-select in the
-  native NHWC layout — no width or Cin special cases, fused backward
-  everywhere. Auto routes wide eval maps (800px pyramid, W=200) and deep
-  heads (MobileNetV2's Cin=1280) here; measured 4-5x over the XLA
-  formulation at those shapes in the trained near-zero-offset regime.
+  native (small maps lane-pack several images per 128-lane register row,
+  ``_pack_factor``), Cin <= 512. Auto routes every such shape here.
+  Forced-lanes also panel-tiles W > 128 forwards.
+- "select" (section banner further down): the same one-hot-matmul idea in
+  the native NHWC layout — no transposes, no width/Cin special cases,
+  fused backward everywhere, exact horizontal sampling. Auto routes wide
+  eval maps (800px pyramid, W=200) and deep heads (MobileNetV2's
+  Cin=1280) here; measured over both "nhwc" and the XLA formulation at
+  those shapes at every offset scale.
+- "nhwc" (legacy, forced-A/B only): slice-and-select via sublane rolls
+  with an O(offset-spread^2) (dy, dx) loop; superseded by "select"
+  (4x200x200x64 std=1.0: select fwd 12.2 / bwd 39.4 ms vs nhwc 70 / 138).
 
 Vertical offsets are clamped to ``max_shift`` (default 14) pixels — both
 components under "nhwc" — while the reference CUDA kernel allows unbounded
@@ -52,22 +58,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Kernel generation: "auto" (default) routes each map shape to the
-# measured-fastest kernel; "lanes" / "nhwc" force one generation for A/B
-# benchmarking (tools/bench_dcn_ab.py).
-#   - "lanes": the W-on-lanes gather kernels — fastest inside their native
-#     envelope (A/B on v5e, hot 16x128x128x64 layer: 3-15x over nhwc), but
+# measured-fastest kernel; "lanes" / "select" / "nhwc" force one
+# generation for A/B benchmarking (tools/bench_dcn_ab.py).
+#   - "lanes": the W-on-lanes one-hot-select kernels — fastest inside
+#     their native envelope (A/B on v5e at std=0.1 across the DLA ladder:
+#     128x128x64 fwd 4.6 / bwd 7.4 ms vs select 8.8 / 26.9), but
 #     lane-extent-bound: W <= 128 native, W > 128 only via panel-tiled
 #     forward + XLA backward, Cin <= 512 (VMEM gate).
-#   - "nhwc": slice-and-select kernels in the native layout — no width or
-#     channel special cases and a fused backward everywhere, at the cost of
-#     an O(offset-spread^2) (dy, dx) loop. A/B on v5e at the lanes-excluded
-#     shapes (std=1.0 offsets, worst case): 4x200x200x64 fwd 70 ms /
-#     bwd 138 ms and 16x16x16x1280 fwd 11.7 ms / bwd 24.8 ms — at worst
-#     on par with the XLA formulation there, and faster in the trained
-#     near-zero-offset regime (the loop cost tracks the actual spread).
+#   - "select": the same one-hot matmuls in the native NHWC layout — no
+#     staging transposes, any W/Cin, fused backward everywhere, exact
+#     horizontal sampling. A/B on v5e at the lanes-excluded shapes:
+#     4x200x200x64 fwd 6.4 / bwd 20.4 ms at std=0.1 (nhwc: 14.0 / 27.4;
+#     XLA: far slower), fwd 12.2 / bwd 39.4 at std=1.0 (nhwc: 70 / 138).
+#   - "nhwc": legacy sublane-roll kernels with an O(offset-spread^2)
+#     (dy, dx) loop; superseded by "select" everywhere.
 _KERNEL_VERSION = os.environ.get("CENTERNET_DCN_KERNEL", "auto")
 
-_VERSIONS = ("auto", "nhwc", "lanes")
+_VERSIONS = ("auto", "nhwc", "lanes", "select")
 
 
 def set_kernel_version(version: str) -> None:
@@ -86,21 +93,25 @@ def generation_for(x_shape) -> str:
     """Which kernel generation handles a (B, H, W, Cin) map.
 
     Under "auto": the lanes kernels inside their native envelope
-    (8 <= W <= 128 lane extent, Cin <= 512 VMEM working set), the NHWC
+    (8 <= W <= 128 lane extent, Cin <= 512 VMEM working set — measured
+    fastest there across the whole DLA ladder, A/B on v5e), the "select"
     kernels everywhere else (wide eval maps, MobileNetV2's 1280-channel
-    neck head) — one generation per shape for BOTH directions, so no
-    shape ever differentiates through the slow XLA formulation."""
+    neck head; measured over both "nhwc" and the XLA formulation at those
+    shapes) — one generation per shape for BOTH directions, so no shape
+    ever differentiates through the slow XLA formulation."""
     if _KERNEL_VERSION != "auto":
         return _KERNEL_VERSION
     w, cin = x_shape[2], x_shape[3]
     if 8 <= w <= 128 and cin <= 512:
         return "lanes"
-    return "nhwc"
+    return "select"
 
 
 def _row_block(h: int, cin: int) -> int:
-    # keep the (R*Cin, W) gather temporaries within the VMEM budget
+    # keep the (R, Cin, W) f32 accumulator + (R, W, W) selects in VMEM
     budget = max(4096 // max(cin, 1), 8)
+    # 64-row blocks measured ~10% SLOWER at the hot shape (VMEM pressure
+    # outweighs the per-block savings)
     for r in (32, 16, 8):
         if r <= budget and h % r == 0 and h >= r:
             return r
@@ -189,6 +200,9 @@ def _dcn_kernel(xt_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, *,
 
     out_acc = jnp.zeros((r_blk, w, cout), jnp.float32)
     rgrid = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 0) + r0
+    # source-lane index on dim 1 for the x-select one-hot:
+    # S[r, pos, j] = sum of corner weights whose sample lane is pos
+    pos = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w, w), 1)
     if panel_wp:
         jgrid = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 1)
         seg_base = None
@@ -232,12 +246,6 @@ def _dcn_kernel(xt_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, *,
         if seg_base is not None:
             x0c = x0c + seg_base
             x1c = x1c + seg_base
-        # indices must be materialized per gather row; weights broadcast
-        # implicitly in 3D form (no (R*Cin, W) temporaries)
-        idx0 = jnp.broadcast_to(x0c[:, None, :], (r_blk, cin, w)
-                                ).reshape(r_blk * cin, w)
-        idx1 = jnp.broadcast_to(x1c[:, None, :], (r_blk, cin, w)
-                                ).reshape(r_blk * cin, w)
 
         rel = y0 - rgrid  # bounded row shift of the y0 corner
         # dynamic shift range: only displacements that actually occur in
@@ -249,23 +257,25 @@ def _dcn_kernel(xt_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, *,
         def shift_body(d, s):
             sel0 = (rel == d).astype(jnp.float32)
             sel1 = (rel + 1 == d).astype(jnp.float32)
-            a_w = sel0 * w00 + sel1 * w10  # weight of the x0 gather
-            b_w = sel0 * w01 + sel1 * w11  # weight of the x1 gather
-            active = jnp.any((a_w > 0) | (b_w > 0))
-
-            def compute(s):
-                if panel_wp:
-                    src = xt_ref[0, 0, pl.ds(r0 + pad_rows + d, r_blk)]
-                else:
-                    src = xt_ref[0, pl.ds(r0 + pad_rows + d, r_blk)]
-                src2 = src.astype(jnp.float32).reshape(r_blk * cin, w)
-                g0 = jnp.take_along_axis(src2, idx0, axis=1
-                                         ).reshape(r_blk, cin, w)
-                g1 = jnp.take_along_axis(src2, idx1, axis=1
-                                         ).reshape(r_blk, cin, w)
-                return s + a_w[:, None, :] * g0 + b_w[:, None, :] * g1
-
-            return jax.lax.cond(active, compute, lambda s: s, s)
+            a_w = sel0 * w00 + sel1 * w10  # weight of the x0 corner
+            b_w = sel0 * w01 + sel1 * w11  # weight of the x1 corner
+            # x-resolve on the MXU: both corners' bilinear weights fold
+            # into ONE one-hot select matrix, so the per-shift work is a
+            # single (Cin, Wsrc) @ (Wsrc, W) batched matmul straight off
+            # the bf16 image rows — no lane gather, no f32 staging, and
+            # no lax.cond (A/B on v5e, hot 16x128x128x64 layer, trained
+            # near-zero-offset regime: 8.1 -> 5.0 ms; the cond alone
+            # costs more than the work it skips at every offset scale).
+            s_m = (jnp.where(x0c[:, None, :] == pos, a_w[:, None, :], 0.0)
+                   + jnp.where(x1c[:, None, :] == pos, b_w[:, None, :], 0.0)
+                   ).astype(jnp.bfloat16)
+            if panel_wp:
+                src = xt_ref[0, 0, pl.ds(r0 + pad_rows + d, r_blk)]
+            else:
+                src = xt_ref[0, pl.ds(r0 + pad_rows + d, r_blk)]
+            return s + jax.lax.dot_general(
+                src, s_m, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
 
         s = jax.lax.fori_loop(
             jnp.maximum(d_lo, dmin), jnp.minimum(d_hi, dmax) + 1, shift_body,
@@ -298,7 +308,11 @@ def dcn_v2_pallas(
 ) -> jax.Array:
     """Pallas DCNv2 forward — dispatches per shape to the active kernel
     generation (``generation_for`` / ``set_kernel_version``)."""
-    if generation_for(x.shape) == "nhwc":
+    gen = generation_for(x.shape)
+    if gen == "select":
+        return dcn_v2_pallas_select(x, offset, mask, weight, bias,
+                                    max_shift=max_shift, interpret=interpret)
+    if gen == "nhwc":
         return dcn_v2_pallas_nhwc(x, offset, mask, weight, bias,
                                   max_shift=max_shift, interpret=interpret)
     return dcn_v2_pallas_lanes(x, offset, mask, weight, bias,
@@ -315,7 +329,12 @@ def dcn_v2_pallas_bwd(
     interpret: bool = False,
 ):
     """Pallas DCNv2 backward — dispatches like ``dcn_v2_pallas``."""
-    if generation_for(x.shape) == "nhwc":
+    gen = generation_for(x.shape)
+    if gen == "select":
+        return dcn_v2_pallas_bwd_select(x, offset, mask, weight, g,
+                                        max_shift=max_shift,
+                                        interpret=interpret)
+    if gen == "nhwc":
         return dcn_v2_pallas_bwd_nhwc(x, offset, mask, weight, g,
                                       max_shift=max_shift,
                                       interpret=interpret)
@@ -505,22 +524,27 @@ def _dcn_v2_pallas_wide(x, offset, mask, weight, bias, max_shift, interpret):
 
 def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
                            doff_ref, dmask_ref, dw_out_ref, dxp_ref,
-                           dw_acc, v00, v01, v10, v11, *,
+                           dw_acc, s_acc, *,
                            h: int, w: int, w_img: int, cin: int, cout: int,
                            pad_rows: int, max_shift: int, row_block: int):
     """All gradients in ONE source-centric pass.
 
-    Recomputes the forward sampling per output-row block, accumulating the
-    four bilinear corner values, then forms:
-      dW[t]    = sum (m*u) x g            (MXU)
-      dmask[t] = sum_c u . gcol
-      doff     = m * sum_c (corner-weight derivative combos) . gcol
-      dx       = per-(tap, shift) weighted x-scatter of gcol (one-hot
-                 batched matmul on the MXU) accumulated straight into the
-                 whole-image dx block, which every row-block program of an
-                 image revisits (it stays resident in VMEM; TPU grid
-                 iteration is sequential so no atomics are needed).
-    with gcol = g @ W_t^T computed once per tap and shared by all four.
+    Recomputes the forward sampling per output-row block. Per (tap, shift)
+    iteration — three batched MXU matmuls off the bf16 image rows, no lane
+    gathers and no lax.cond (both measured slower than the matmul work
+    they replace, see the forward kernel) — with gcol = g @ W_t^T once per
+    tap and ONE shared one-hot select matrix s_w (modulated bilinear
+    corner weights folded in, as in the forward):
+      s_acc   += src @ s_w          — the modulated column m*u, so
+                 dW[t] = sum_r s_acc[r] @ g[r] on the MXU
+      dx      += s_w @ gcol          — the weighted x-scatter, accumulated
+                 straight into the whole-image dx block, which every
+                 row-block program of an image revisits (it stays resident
+                 in VMEM; TPU grid iteration is sequential so no atomics)
+      E        = src^T . gcol        — (R, Wsrc, W) corner contraction from
+                 which e0/e1 (and so dmask[t] / doffset with the analytic
+                 bilinear-weight derivative coefficients) are unweighted
+                 one-hot row-reductions; all further arithmetic is (R, W).
     Layouts as in the forward kernel; g_ref is the (1, R, W, Cout)
     cotangent block; dxp_ref the (1, Hp+2P, W, Cin) whole-image dx.
     """
@@ -542,12 +566,6 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
     # pos index on dim 1 for the x-scatter: S[r, pos, j] = (x_idx[r,j]==pos)
     pos = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w, w), 1)
     g_blk = g_ref[0]  # (R, W, Cout)
-
-    def bcast_idx(a):
-        # gather indices must be materialized per row; per-pixel WEIGHTS
-        # broadcast implicitly via [:, None, :] in 3D (R, Cin, W) form
-        return jnp.broadcast_to(a[:, None, :], (r_blk, cin, w)
-                                ).reshape(r_blk * cin, w)
 
     for t in range(9):
         ti, tj = t // 3, t % 3
@@ -579,103 +597,101 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
         if seg_base is not None:
             x0c = x0c + seg_base
             x1c = x1c + seg_base
-        idx0 = bcast_idx(x0c)
-        idx1 = bcast_idx(x1c)
 
         gcol = jax.lax.dot_general(
             g_blk.astype(jnp.bfloat16), w_ref[t].astype(jnp.bfloat16),
             (((2,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (R, W, Cin)
-        gcol3 = jnp.swapaxes(gcol, 1, 2)  # (R, Cin, W)
 
         rel = y0 - rgrid
         d_lo = jnp.min(rel)
         d_hi = jnp.max(rel) + 1
 
-        v00[:] = jnp.zeros_like(v00)
-        v01[:] = jnp.zeros_like(v01)
-        v10[:] = jnp.zeros_like(v10)
-        v11[:] = jnp.zeros_like(v11)
+        s_acc[:] = jnp.zeros_like(s_acc)
 
-        # corner weights incl. modulation, for the dx scatter
-        w00s = val00 * (1 - fy) * (1 - fx) * m
-        w01s = val01 * (1 - fy) * fx * m
-        w10s = val10 * fy * (1 - fx) * m
-        w11s = val11 * fy * fx * m
+        # corner coefficients, all (R, W): u-combine (c**), bilinear-weight
+        # y/x-derivative combos (dy**, dxc**), and the modulated scatter
+        # weights (w**s = m * c**)
+        c00 = val00 * (1 - fy) * (1 - fx)
+        c01 = val01 * (1 - fy) * fx
+        c10 = val10 * fy * (1 - fx)
+        c11 = val11 * fy * fx
+        dy00 = -val00 * (1 - fx)
+        dy01 = -val01 * fx
+        dy10 = val10 * (1 - fx)
+        dy11 = val11 * fx
+        dxc00 = -val00 * (1 - fy)
+        dxc01 = val01 * (1 - fy)
+        dxc10 = -val10 * fy
+        dxc11 = val11 * fy
+        w00s, w01s, w10s, w11s = m * c00, m * c01, m * c10, m * c11
         gcol_b = gcol.astype(jnp.bfloat16)
 
         def shift_body(d, carry):
+            dmask_t, doffy_t, doffx_t = carry
             sel0 = (rel == d).astype(jnp.float32)
             sel1 = (rel + 1 == d).astype(jnp.float32)
-            any_active = jnp.any((sel0 + sel1) > 0)
+            a_w = sel0 * w00s + sel1 * w10s
+            b_w = sel0 * w01s + sel1 * w11s
+            # ONE one-hot select matrix with the modulated bilinear corner
+            # weights folded in, shared by the dW column and the dx scatter
+            s_w = (jnp.where(x0c[:, None, :] == pos, a_w[:, None, :], 0.0)
+                   + jnp.where(x1c[:, None, :] == pos,
+                               b_w[:, None, :], 0.0)).astype(jnp.bfloat16)
+            src = xt_ref[0, pl.ds(r0 + pad_rows + d, r_blk)]  # (R, Cin, W)
 
-            @pl.when(any_active)
-            def _():
-                src = xt_ref[0, pl.ds(r0 + pad_rows + d, r_blk)]
-                src2 = src.astype(jnp.float32).reshape(r_blk * cin, w)
-                g0 = jnp.take_along_axis(src2, idx0, axis=1
-                                         ).reshape(r_blk, cin, w)
-                g1 = jnp.take_along_axis(src2, idx1, axis=1
-                                         ).reshape(r_blk, cin, w)
-                s0b = sel0[:, None, :]
-                s1b = sel1[:, None, :]
-                v00[:] = v00[:] + s0b * g0
-                v01[:] = v01[:] + s0b * g1
-                v10[:] = v10[:] + s1b * g0
-                v11[:] = v11[:] + s1b * g1
+            # modulated column m*u for dW: s_acc += src @ s_w
+            s_acc[:] = s_acc[:] + jax.lax.dot_general(
+                src, s_w, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
 
-                # dx: sources at shift d write input rows r0+d+[0,R) ==
-                # band rows P+d+[0,R). Corner weights fold into the one-hot
-                # so one batched matmul scatters both x-corners.
-                a_w = sel0 * w00s + sel1 * w10s
-                b_w = sel0 * w01s + sel1 * w11s
-                s_w = (jnp.where(x0c[:, None, :] == pos, a_w[:, None, :], 0.0)
-                       + jnp.where(x1c[:, None, :] == pos,
-                                   b_w[:, None, :], 0.0)).astype(jnp.bfloat16)
-                contrib = jax.lax.dot_general(
-                    s_w, gcol_b, (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                )  # (R, Wpos, Cin)
-                row = r0 + pad_rows + d
-                dxp_ref[0, pl.ds(row, r_blk)] = (
-                    dxp_ref[0, pl.ds(row, r_blk)] + contrib)
+            # dx: sources at shift d write input rows r0+d+[0,R) == band
+            # rows P+d+[0,R); one batched matmul scatters both x-corners.
+            contrib = jax.lax.dot_general(
+                s_w, gcol_b, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (R, Wpos, Cin)
+            row = r0 + pad_rows + d
+            dxp_ref[0, pl.ds(row, r_blk)] = (
+                dxp_ref[0, pl.ds(row, r_blk)] + contrib)
 
-            return carry
+            # corner contraction E[r, jsrc, j] = sum_c src[c, jsrc] gcol[j, c]
+            # from which e0/e1 are unweighted one-hot row-reductions; every
+            # dmask/doffset term is then a (R, W)-sized combination
+            e_mat = jax.lax.dot_general(
+                src, gcol_b, (((1,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (R, Wsrc, W)
+            e0 = jnp.sum(jnp.where(x0c[:, None, :] == pos, e_mat, 0.0),
+                         axis=1)
+            e1 = jnp.sum(jnp.where(x1c[:, None, :] == pos, e_mat, 0.0),
+                         axis=1)
+            dmask_t = dmask_t + (sel0 * (c00 * e0 + c01 * e1)
+                                 + sel1 * (c10 * e0 + c11 * e1))
+            doffy_t = doffy_t + (sel0 * (dy00 * e0 + dy01 * e1)
+                                 + sel1 * (dy10 * e0 + dy11 * e1))
+            doffx_t = doffx_t + (sel0 * (dxc00 * e0 + dxc01 * e1)
+                                 + sel1 * (dxc10 * e0 + dxc11 * e1))
+            return dmask_t, doffy_t, doffx_t
 
-        jax.lax.fori_loop(jnp.maximum(d_lo, -max_shift - 2),
-                          jnp.minimum(d_hi, max_shift + 2) + 1,
-                          shift_body, 0)
+        zero_rw = jnp.zeros((r_blk, w), jnp.float32)
+        dmask_t, doffy_t, doffx_t = jax.lax.fori_loop(
+            jnp.maximum(d_lo, -max_shift - 2),
+            jnp.minimum(d_hi, max_shift + 2) + 1,
+            shift_body, (zero_rw, zero_rw, zero_rw))
 
-        u = ((val00 * (1 - fy) * (1 - fx))[:, None, :] * v00[:]
-             + (val01 * (1 - fy) * fx)[:, None, :] * v01[:]
-             + (val10 * fy * (1 - fx))[:, None, :] * v10[:]
-             + (val11 * fy * fx)[:, None, :] * v11[:])
-
-        # dW[t] += sum_r s_t[r] (Cin, W) @ g[r] (W, Cout), batched on the MXU
-        s_t = (m[:, None, :] * u).astype(jnp.bfloat16)
+        # dW[t] += sum_r s[r] (Cin, W) @ g[r] (W, Cout), batched on the MXU
         dw_r = jax.lax.dot_general(
-            s_t, g_blk.astype(jnp.bfloat16), (((2,), (1,)), ((0,), (0,))),
+            s_acc[:].astype(jnp.bfloat16), g_blk.astype(jnp.bfloat16),
+            (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (R, Cin, Cout)
         dw_acc[t] = dw_acc[t] + jnp.sum(dw_r, axis=0)
 
-        # dmask[t] = sum_c u . gcol
-        dmask_ref[0, t] = jnp.sum(u * gcol3, axis=1)
-
-        # doffset via bilinear-weight derivatives (validity folded in)
-        p00 = val00[:, None, :] * v00[:]
-        p01 = val01[:, None, :] * v01[:]
-        p10 = val10[:, None, :] * v10[:]
-        p11 = val11[:, None, :] * v11[:]
-        fxb = fx[:, None, :]
-        fyb = fy[:, None, :]
-        dy_comb = (-(1 - fxb) * p00 - fxb * p01
-                   + (1 - fxb) * p10 + fxb * p11)
-        dx_comb = (-(1 - fyb) * p00 + (1 - fyb) * p01
-                   - fyb * p10 + fyb * p11)
-        doff_y = m * jnp.sum(dy_comb * gcol3, axis=1)
-        doff_x = m * jnp.sum(dx_comb * gcol3, axis=1)
+        dmask_ref[0, t] = dmask_t
+        doff_y = m * doffy_t
+        doff_x = m * doffx_t
         doff_y = jnp.where(jnp.abs(off_y_raw) < max_shift, doff_y, 0.0)
         doff_ref[0, 2 * t] = doff_y
         doff_ref[0, 2 * t + 1] = doff_x
@@ -692,7 +708,9 @@ def _bwd_stage(x, offset, mask, weight, g, max_shift):
     _, _, _, cout = weight.shape
     pad_rows = max_shift + 2
 
-    r_blk = _row_block(h, max(cin, cout) * 4)
+    # one (R, Cin, W) accumulator + the (R, W, Cout) cotangent + the
+    # (R, W, W) scatter one-hot bound the block height
+    r_blk = _row_block(h, max(cin, cout) * 2)
     # pad H to whole row blocks (padded rows: zero offsets/mask/cotangent ->
     # zero contributions; outputs sliced back to h)
     h_pad = -(-h // r_blk) * r_blk
@@ -765,9 +783,6 @@ def _bwd_params_call(xt, off_t, mask_t, w_taps, g_blk_in, dims, max_shift,
         ],
         scratch_shapes=[
             pltpu.VMEM((9, cin, cout), jnp.float32),
-            pltpu.VMEM((r_blk, cin, w), jnp.float32),
-            pltpu.VMEM((r_blk, cin, w), jnp.float32),
-            pltpu.VMEM((r_blk, cin, w), jnp.float32),
             pltpu.VMEM((r_blk, cin, w), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -1255,6 +1270,424 @@ def dcn_v2_pallas_bwd_nhwc(
     )(xp, off_p, mask_p, w_taps, g_p)
 
     dx = dxp[:, pad:pad + h, pad:pad + w].astype(x.dtype)
+    doff = doff_p[:, :h]
+    dmask = dmask_p[:, :h]
+    dweight = dw_b.sum(axis=0).reshape(3, 3, cin, cout).astype(weight.dtype)
+    dbias = g.astype(jnp.float32).sum(axis=(0, 1, 2))
+    return dx, doff, dmask, dweight, dbias
+
+
+# ===========================================================================
+# NHWC one-hot "select" kernels ("select" generation — round 3)
+# ===========================================================================
+#
+# The lanes kernels above resolve the horizontal sample position with a
+# one-hot select MATMUL; this generation applies the same trick in the
+# NATIVE NHWC layout, contracting the WIDTH dim instead of gathering along
+# lanes: per (tap, y-shift) the whole row block samples with ONE batched
+# matmul (R, Wdst, Wsrc) @ (R, Wsrc, Cin), so Cin stays on lanes end to
+# end. Consequences vs the generations above:
+#   * no staging transposes at all — x pads on H only; offset, mask, the
+#     cotangent, and every output stay NHWC (the lanes generation's
+#     W-on-lanes staging measured ~9% of the whole train step as layout
+#     copies, BASELINE.md);
+#   * no width or channel gates — any W (the select square is WxW), any
+#     Cin (lane-tiled by Mosaic): no lane packing, no overlapping panels,
+#     no Cin<=512 VMEM cliff;
+#   * horizontal offsets are EXACT (unbounded), because a select row spans
+#     the full width and out-of-bounds corners get zero weight — only the
+#     vertical ``max_shift`` clamp remains (same as "lanes" at W<=128,
+#     strictly wider semantics than "nhwc" which clamps both).
+# The backward reuses the forward's modulated select matrix for BOTH the
+# dW column accumulation and the dx scatter, and reads doffset/dmask off a
+# corner-contraction matmul E = gcol . src^T — three batched MXU matmuls
+# per (tap, shift), zero shuffles, mirroring the analytic col2im /
+# col2im_coord semantics (src/cuda/dcn_v2_im2col_cuda.cu:197-330).
+
+
+def _sel_row_block(h: int, w: int, cin: int) -> int:
+    # working set per trip: (R, W, W) bf16 select + (R, W, Cin) f32
+    # accumulator + the (R, W, Cin) matmul output
+    per_row = 2 * w * w + 12 * w * cin
+    budget = max((4 * 1024 * 1024) // max(per_row, 1), 8)
+    for r in (32, 16, 8):
+        if r <= budget and h % r == 0 and h >= r:
+            return r
+    return min(h, 8)
+
+
+def _sel_stage(x, offset, mask, max_shift, row_block):
+    """Pad x on H only (bf16) and the per-pixel operands to whole row
+    blocks. Everything stays NHWC — no transposes."""
+    b, h, w, cin = x.shape
+    pad_rows = max_shift + 2
+    h_pad = -(-h // row_block) * row_block
+    extra = h_pad - h
+    xp = jnp.pad(x.astype(jnp.bfloat16),
+                 ((0, 0), (pad_rows, pad_rows + extra), (0, 0), (0, 0)))
+    off_p = jnp.pad(offset.astype(jnp.float32),
+                    ((0, 0), (0, extra), (0, 0), (0, 0)))
+    mask_p = jnp.pad(mask.astype(jnp.float32),
+                     ((0, 0), (0, extra), (0, 0), (0, 0)))
+    return xp, off_p, mask_p, pad_rows, h_pad
+
+
+def _sel_geometry(off_ref, mask_ref, rgrid, jgrid, t, h, w, max_shift):
+    """Per-tap sampling geometry: corner weights with validity folded in
+    (REAL coordinates; only dy clamps), clipped corner columns, and the
+    dynamic y-shift range."""
+    ti, tj = t // 3, t % 3
+    off_y_raw = off_ref[0, :, :, 2 * t]
+    off_y = jnp.clip(off_y_raw, -max_shift, max_shift)
+    off_x = off_ref[0, :, :, 2 * t + 1]
+    m = mask_ref[0, :, :, t]
+    py = rgrid.astype(jnp.float32) + (ti - 1) + off_y
+    px = jgrid.astype(jnp.float32) + (tj - 1) + off_x
+    y0f = jnp.floor(py)
+    x0f = jnp.floor(px)
+    fy = py - y0f
+    fx = px - x0f
+    y0 = y0f.astype(jnp.int32)
+    x0 = x0f.astype(jnp.int32)
+    vy0 = (y0 >= 0) & (y0 <= h - 1)
+    vy1 = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)
+    vx0 = (x0 >= 0) & (x0 <= w - 1)
+    vx1 = (x0 + 1 >= 0) & (x0 + 1 <= w - 1)
+    val = (vy0 & vx0, vy0 & vx1, vy1 & vx0, vy1 & vx1)
+    x0c = jnp.clip(x0, 0, w - 1)
+    x1c = jnp.clip(x0 + 1, 0, w - 1)
+    rel = y0 - rgrid
+    return off_y_raw, m, fy, fx, val, x0c, x1c, rel
+
+
+def _sel_fwd_kernel(xp_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, *,
+                    h: int, w: int, cin: int, cout: int, pad_rows: int,
+                    max_shift: int, row_block: int):
+    """Program (i, r): image i, row block r. Layouts (all NHWC):
+    xp_ref   (1, Hp+2P, W, Cin) bf16  H zero-padded
+    off_ref  (1, R, W, 18) f32   (dy, dx) interleaved per tap
+    mask_ref (1, R, W, 9)  f32   post-sigmoid modulation
+    w_ref    (9, Cin, Cout) f32  tap-major kernel
+    b_ref    (1, Cout) f32
+    out_ref  (1, R, W, Cout) f32
+    """
+    r_blk = row_block
+    r0 = pl.program_id(1) * r_blk
+    rgrid = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 0) + r0
+    jgrid = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 1)
+    # source-column index on dim 1 (SUBLANES): S[r, pos_src, jdst]. Keeping
+    # jdst on lanes lets every (R, W) operand broadcast along sublanes for
+    # free — indexing jdst on sublanes instead forces a lane->sublane
+    # relayout of 8 operands per (tap, shift), measured 4-5x slower.
+    pos = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w, w), 1)
+
+    out_acc = jnp.zeros((r_blk * w, cout), jnp.float32)
+    for t in range(9):
+        _, m, fy, fx, val, x0c, x1c, rel = _sel_geometry(
+            off_ref, mask_ref, rgrid, jgrid, t, h, w, max_shift)
+        v00, v01, v10, v11 = val
+        w00 = jnp.where(v00, (1 - fy) * (1 - fx) * m, 0.0)
+        w01 = jnp.where(v01, (1 - fy) * fx * m, 0.0)
+        w10 = jnp.where(v10, fy * (1 - fx) * m, 0.0)
+        w11 = jnp.where(v11, fy * fx * m, 0.0)
+
+        d_lo = jnp.min(rel)
+        d_hi = jnp.max(rel) + 1
+
+        def shift_body(d, s):
+            sel0 = (rel == d).astype(jnp.float32)
+            sel1 = (rel + 1 == d).astype(jnp.float32)
+            a_w = sel0 * w00 + sel1 * w10
+            b_w = sel0 * w01 + sel1 * w11
+            s_m = (jnp.where(x0c[:, None, :] == pos, a_w[:, None, :], 0.0)
+                   + jnp.where(x1c[:, None, :] == pos, b_w[:, None, :], 0.0)
+                   ).astype(jnp.bfloat16)  # (R, Wsrc, Wdst)
+            src = xp_ref[0, pl.ds(r0 + pad_rows + d, r_blk)]  # (R, Wsrc, C)
+            # contract the shared SUBLANE dim Wsrc of both operands
+            return s + jax.lax.dot_general(
+                s_m, src, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # (R, Wdst, Cin)
+
+        s = jax.lax.fori_loop(
+            jnp.maximum(d_lo, -max_shift - 2),
+            jnp.minimum(d_hi, max_shift + 2) + 1, shift_body,
+            jnp.zeros((r_blk, w, cin), jnp.float32))
+
+        # (R*W, Cin) @ (Cin, Cout): Cin contracts on lanes — native MXU
+        out_acc = out_acc + jax.lax.dot_general(
+            s.reshape(r_blk * w, cin).astype(jnp.bfloat16),
+            w_ref[t].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    out_ref[0] = out_acc.reshape(r_blk, w, cout) + b_ref[0][None, None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
+def dcn_v2_pallas_select(
+    x: jax.Array,
+    offset: jax.Array,
+    mask: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array | None = None,
+    max_shift: int = 14,
+    interpret: bool = False,
+) -> jax.Array:
+    """NHWC one-hot select DCNv2 forward (3x3 / s1 / p1 / d1, any W/Cin).
+
+    Same operand contract as ``ops.dcn.dcn_v2``; only the VERTICAL offset
+    clamps to ``max_shift`` (horizontal sampling is exact).
+    Returns (B, H, W, Cout) float32.
+    """
+    b, h, w, cin = x.shape
+    kh, kw, _, cout = weight.shape
+    assert (kh, kw) == (3, 3), "pallas DCN kernel is 3x3 only"
+    assert offset.shape == (b, h, w, 18)
+    assert mask.shape == (b, h, w, 9)
+
+    r_blk = _sel_row_block(h, w, cin)
+    xp, off_p, mask_p, pad_rows, h_pad = _sel_stage(
+        x, offset, mask, max_shift, r_blk)
+    w_taps = weight.reshape(9, cin, cout).astype(jnp.float32)
+    bias_in = (bias if bias is not None
+               else jnp.zeros((cout,), jnp.float32)).reshape(1, cout)
+
+    kernel = functools.partial(
+        _sel_fwd_kernel, h=h, w=w, cin=cin, cout=cout, pad_rows=pad_rows,
+        max_shift=max_shift, row_block=r_blk)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, h_pad // r_blk),
+        in_specs=[
+            pl.BlockSpec((1, h_pad + 2 * pad_rows, w, cin),
+                         lambda i, r: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_blk, w, 18), lambda i, r: (i, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_blk, w, 9), lambda i, r: (i, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, cin, cout), lambda i, r: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, r_blk, w, cout),
+                               lambda i, r: (i, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h_pad, w, cout), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, off_p, mask_p, w_taps, bias_in)
+    return out[:, :h]
+
+
+def _sel_bwd_kernel(xp_ref, off_ref, mask_ref, w_ref, g_ref,
+                    doff_ref, dmask_ref, dw_out_ref, dxp_ref,
+                    dw_acc, s_acc, *,
+                    h: int, w: int, cin: int, cout: int, pad_rows: int,
+                    max_shift: int, row_block: int):
+    """All gradients in one NHWC pass — three batched MXU matmuls per
+    (tap, shift), sharing one modulated select matrix s_w:
+      s_acc   += s_w @ src       — modulated column m*u; dW[t] closes as
+                 one (R*W)-contraction against the cotangent
+      dx      += s_w^T-apply     — dot over Wdst scatters into the
+                 whole-image dx block (VMEM-resident across the grid row;
+                 sequential TPU grid -> no atomics)
+      E        = gcol . src^T    — corner contraction (R, Wdst, Wsrc) from
+                 which e0/e1 (-> dmask, doffset with the analytic bilinear
+                 derivative coefficients) are one-hot row-reductions.
+    """
+    r_blk = row_block
+    rb = pl.program_id(1)
+    n_rb = pl.num_programs(1)
+    r0 = rb * r_blk
+
+    @pl.when(rb == 0)
+    def _init():
+        dw_acc[:] = jnp.zeros_like(dw_acc)
+        dxp_ref[0] = jnp.zeros_like(dxp_ref[0])
+
+    rgrid = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 0) + r0
+    jgrid = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 1)
+    # source column on SUBLANES (dim 1) — see the forward kernel's note
+    pos = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w, w), 1)
+    g_blk = g_ref[0]  # (R, W, Cout)
+    g2 = g_blk.reshape(r_blk * w, cout).astype(jnp.bfloat16)
+
+    for t in range(9):
+        off_y_raw, m, fy, fx, val, x0c, x1c, rel = _sel_geometry(
+            off_ref, mask_ref, rgrid, jgrid, t, h, w, max_shift)
+        v00 = val[0].astype(jnp.float32)
+        v01 = val[1].astype(jnp.float32)
+        v10 = val[2].astype(jnp.float32)
+        v11 = val[3].astype(jnp.float32)
+
+        # corner coefficients, all (R, W): u-combine (c**), bilinear-weight
+        # y/x-derivative combos, and the modulated weights (w**s = m * c**)
+        c00 = v00 * (1 - fy) * (1 - fx)
+        c01 = v01 * (1 - fy) * fx
+        c10 = v10 * fy * (1 - fx)
+        c11 = v11 * fy * fx
+        dy00 = -v00 * (1 - fx)
+        dy01 = -v01 * fx
+        dy10 = v10 * (1 - fx)
+        dy11 = v11 * fx
+        dxc00 = -v00 * (1 - fy)
+        dxc01 = v01 * (1 - fy)
+        dxc10 = -v10 * fy
+        dxc11 = v11 * fy
+        w00s, w01s, w10s, w11s = m * c00, m * c01, m * c10, m * c11
+
+        # gcol = g @ W_t^T: contract Cout on lanes (native MXU)
+        gcol = jax.lax.dot_general(
+            g2, w_ref[t].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(r_blk, w, cin)
+        gcol_b = gcol.astype(jnp.bfloat16)
+
+        d_lo = jnp.min(rel)
+        d_hi = jnp.max(rel) + 1
+        s_acc[:] = jnp.zeros_like(s_acc)
+
+        def shift_body(d, carry):
+            dmask_t, doffy_t, doffx_t = carry
+            sel0 = (rel == d).astype(jnp.float32)
+            sel1 = (rel + 1 == d).astype(jnp.float32)
+            a_w = sel0 * w00s + sel1 * w10s
+            b_w = sel0 * w01s + sel1 * w11s
+            s_m = (jnp.where(x0c[:, None, :] == pos, a_w[:, None, :], 0.0)
+                   + jnp.where(x1c[:, None, :] == pos, b_w[:, None, :], 0.0)
+                   ).astype(jnp.bfloat16)  # (R, Wsrc, Wdst)
+            src = xp_ref[0, pl.ds(r0 + pad_rows + d, r_blk)]  # (R, Wsrc, C)
+
+            # modulated column m*u for dW: contract the shared sublane
+            # dim Wsrc
+            s_acc[:] = s_acc[:] + jax.lax.dot_general(
+                s_m, src, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # (R, Wdst, Cin)
+
+            # dx: sources at shift d write input rows r0+d+[0,R); contract
+            # the output column jdst
+            contrib = jax.lax.dot_general(
+                s_m, gcol_b, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (R, Wsrc, Cin)
+            row = r0 + pad_rows + d
+            dxp_ref[0, pl.ds(row, r_blk)] = (
+                dxp_ref[0, pl.ds(row, r_blk)] + contrib)
+
+            # corner contraction E[r, jsrc, jdst] = sum_c src . gcol
+            e_mat = jax.lax.dot_general(
+                src, gcol_b, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (R, Wsrc, Wdst)
+            e0 = jnp.sum(jnp.where(x0c[:, None, :] == pos, e_mat, 0.0),
+                         axis=1)
+            e1 = jnp.sum(jnp.where(x1c[:, None, :] == pos, e_mat, 0.0),
+                         axis=1)
+            dmask_t = dmask_t + (sel0 * (c00 * e0 + c01 * e1)
+                                 + sel1 * (c10 * e0 + c11 * e1))
+            doffy_t = doffy_t + (sel0 * (dy00 * e0 + dy01 * e1)
+                                 + sel1 * (dy10 * e0 + dy11 * e1))
+            doffx_t = doffx_t + (sel0 * (dxc00 * e0 + dxc01 * e1)
+                                 + sel1 * (dxc10 * e0 + dxc11 * e1))
+            return dmask_t, doffy_t, doffx_t
+
+        zero_rw = jnp.zeros((r_blk, w), jnp.float32)
+        dmask_t, doffy_t, doffx_t = jax.lax.fori_loop(
+            jnp.maximum(d_lo, -max_shift - 2),
+            jnp.minimum(d_hi, max_shift + 2) + 1,
+            shift_body, (zero_rw, zero_rw, zero_rw))
+
+        # dW[t] += s^T @ g: contract the R*W rows on the MXU
+        dw_acc[t] = dw_acc[t] + jax.lax.dot_general(
+            s_acc[:].reshape(r_blk * w, cin).astype(jnp.bfloat16), g2,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        dmask_ref[0, :, :, t] = dmask_t
+        doff_y = m * doffy_t
+        doff_x = m * doffx_t
+        # clamp gate: saturated dy gets zero gradient (d clip = 0); dx is
+        # unbounded in this generation, so no gate
+        doff_ref[0, :, :, 2 * t] = jnp.where(
+            jnp.abs(off_y_raw) < max_shift, doff_y, 0.0)
+        doff_ref[0, :, :, 2 * t + 1] = doff_x
+
+    @pl.when(rb == n_rb - 1)
+    def _finalize():
+        dw_out_ref[0] = dw_acc[:]
+
+
+@functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
+def dcn_v2_pallas_bwd_select(
+    x: jax.Array,
+    offset: jax.Array,
+    mask: jax.Array,
+    weight: jax.Array,
+    g: jax.Array,
+    max_shift: int = 14,
+    interpret: bool = False,
+):
+    """Gradients of ``dcn_v2_pallas_select`` w.r.t. (x, offset, mask,
+    weight, bias) — analytic col2im / col2im_coord semantics
+    (src/cuda/dcn_v2_im2col_cuda.cu:197-330) under the same vertical-only
+    offset clamp as the forward. One fused kernel, any W/Cin."""
+    b, h, w, cin = x.shape
+    cout = weight.shape[3]
+    r_blk = _sel_row_block(h, w, max(cin, cout))
+    xp, off_p, mask_p, pad_rows, h_pad = _sel_stage(
+        x, offset, mask, max_shift, r_blk)
+    w_taps = weight.reshape(9, cin, cout).astype(jnp.float32)
+    g_p = jnp.pad(g.astype(jnp.float32),
+                  ((0, 0), (0, h_pad - h), (0, 0), (0, 0)))
+
+    kernel = functools.partial(
+        _sel_bwd_kernel, h=h, w=w, cin=cin, cout=cout, pad_rows=pad_rows,
+        max_shift=max_shift, row_block=r_blk)
+    hp2 = h_pad + 2 * pad_rows
+    doff_p, dmask_p, dw_b, dxp = pl.pallas_call(
+        kernel,
+        grid=(b, h_pad // r_blk),
+        in_specs=[
+            pl.BlockSpec((1, hp2, w, cin),
+                         lambda i, r: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_blk, w, 18), lambda i, r: (i, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_blk, w, 9), lambda i, r: (i, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, cin, cout), lambda i, r: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_blk, w, cout), lambda i, r: (i, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, r_blk, w, 18), lambda i, r: (i, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_blk, w, 9), lambda i, r: (i, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9, cin, cout), lambda i, r: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp2, w, cin),
+                         lambda i, r: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h_pad, w, 18), jnp.float32),
+            jax.ShapeDtypeStruct((b, h_pad, w, 9), jnp.float32),
+            jax.ShapeDtypeStruct((b, 9, cin, cout), jnp.float32),
+            jax.ShapeDtypeStruct((b, hp2, w, cin), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((9, cin, cout), jnp.float32),
+            pltpu.VMEM((r_blk, w, cin), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, off_p, mask_p, w_taps, g_p)
+
+    dx = dxp[:, pad_rows:pad_rows + h].astype(x.dtype)
     doff = doff_p[:, :h]
     dmask = dmask_p[:, :h]
     dweight = dw_b.sum(axis=0).reshape(3, 3, cin, cout).astype(weight.dtype)

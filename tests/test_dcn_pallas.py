@@ -10,6 +10,9 @@ Two kernel generations are covered (ops/dcn_pallas.py); the default
 - "nhwc": slice-and-select in the native layout; BOTH offset components
   clamp to max_shift; one code path for any W/Cin with a fused backward
   everywhere. Auto picks these beyond the lanes envelope.
+- "select": NHWC one-hot select matmuls — native layout like "nhwc" but
+  the x-resolve rides the MXU, so only dy clamps (horizontal sampling is
+  exact) and there are no width/channel special cases at all.
 
 Each is checked against the exact XLA formulation under its documented
 clamp semantics.
@@ -32,7 +35,7 @@ from centernet_uda_tpu.ops.dcn_pallas import (
 )
 
 
-@pytest.fixture(params=["nhwc", "lanes"])
+@pytest.fixture(params=["nhwc", "lanes", "select"])
 def kver(request):
     old = dcn_pallas.get_kernel_version()
     dcn_pallas.set_kernel_version(request.param)
@@ -56,7 +59,7 @@ def xla_clamped(version, max_shift=PALLAS_MAX_SHIFT):
         o = off.reshape(off.shape[:-1] + (9, 2))
         if version == "nhwc":
             o = jnp.clip(o, -max_shift, max_shift)
-        else:
+        else:  # "lanes" (W<=128) and "select": vertical clamp only
             oy = jnp.clip(o[..., 0], -max_shift, max_shift)
             o = jnp.stack([oy, o[..., 1]], -1)
         return dcn_v2(x, o.reshape(off.shape), m, wgt, bias)
@@ -138,14 +141,14 @@ def test_clamp_semantics(rng, kver):
 
 def test_auto_generation_routing():
     """Default "auto" routes each shape to the measured-fastest generation:
-    lanes inside its native envelope, nhwc beyond it (wide eval maps,
+    lanes inside its native envelope, select beyond it (wide eval maps,
     MobileNetV2's 1280-channel neck head)."""
     assert dcn_pallas.get_kernel_version() == "auto"
     assert dcn_pallas.generation_for((16, 128, 128, 64)) == "lanes"
     assert dcn_pallas.generation_for((4, 8, 16, 512)) == "lanes"
-    assert dcn_pallas.generation_for((4, 200, 200, 64)) == "nhwc"
-    assert dcn_pallas.generation_for((16, 16, 16, 1280)) == "nhwc"
-    assert dcn_pallas.generation_for((4, 8, 4, 8)) == "nhwc"  # W < 8
+    assert dcn_pallas.generation_for((4, 200, 200, 64)) == "select"
+    assert dcn_pallas.generation_for((16, 16, 16, 1280)) == "select"
+    assert dcn_pallas.generation_for((4, 8, 4, 8)) == "select"  # W < 8
     old = dcn_pallas.get_kernel_version()
     try:
         dcn_pallas.set_kernel_version("lanes")

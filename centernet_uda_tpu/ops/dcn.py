@@ -83,10 +83,10 @@ def _pallas_supported(x, weight, stride, padding, dilation) -> bool:
     Geometry: 3x3 / s1 / p1 / d1 — the configuration every reference
     backend uses. Per-shape routing (``dcn_pallas.generation_for``,
     default "auto"): the measured-fastest "lanes" kernels inside their
-    native envelope (8 <= W <= 128, Cin <= 512), the "nhwc"
-    slice-and-select kernels — no width or channel special cases beyond a
-    VMEM estimate — everywhere else. Forced "lanes" keeps its wider
-    panel-forward envelope (W <= 1024) for A/B runs.
+    native envelope (8 <= W <= 128, Cin <= 512), the "select" one-hot
+    kernels — no width or channel special cases beyond a VMEM estimate —
+    everywhere else. Forced "lanes" keeps its wider panel-forward
+    envelope (W <= 1024) for A/B runs.
     """
     from centernet_uda_tpu.ops import dcn_pallas
 
@@ -108,17 +108,11 @@ def _pallas_supported(x, weight, stride, padding, dilation) -> bool:
         pad = 2 * (PALLAS_MAX_SHIFT + 2)
         resident = (h + pad) * w * cin * (2 + 4)
         return resident + dw_resident <= 80 * 1024 * 1024
-    if gen == "nhwc":
-        # backward working set: padded x (bf16) + padded dx (f32) resident
-        # in VMEM per image, plus row-block scratches
-        pad = 2 * (PALLAS_MAX_SHIFT + 2)
-        resident = (h + pad) * (w + pad) * cin * (2 + 4)
-        return resident + dw_resident <= 80 * 1024 * 1024
     return (
         # small maps waste lanes (W of 128) but still beat the XLA gather
         # path by ~10x (they lane-pack, see dcn_pallas._pack_factor); wide
-        # maps (forced-lanes A/B only; "auto" routes W > 128 to nhwc) tile
-        # into overlapping 128-lane panels
+        # maps (forced-lanes A/B only; "auto" routes W > 128 to select)
+        # tile into overlapping 128-lane panels
         8 <= w <= 1024
         # VMEM budget: the backward keeps the whole-image dx block, the
         # 9-tap sample/gcol scratches and the feature block resident
@@ -161,13 +155,7 @@ def _note_pallas_fallbacks(x, cin: int, requested_pallas: bool,
                 x, cin,
                 "outside the select Pallas kernel envelope (needs 3x3 / "
                 "stride 1 / pad 1 / dilation 1 and a VMEM-resident padded "
-                "image); XLA path")
-        elif gen == "nhwc":
-            _warn_slow_path(
-                x, cin,
-                "outside the NHWC Pallas kernel envelope (needs 3x3 / "
-                "stride 1 / pad 1 / dilation 1 and a VMEM-resident padded "
-                "image); XLA path")
+                "image + dW accumulator); XLA path")
         elif cin > 512:
             _warn_slow_path(
                 x, cin,
@@ -203,10 +191,10 @@ def _dcn_pallas_fwd(x, offset, mask, weight, bias):
 def _dcn_pallas_bwd(res, g):
     """Fused Pallas backward with the same offset-clamp semantics as the
     forward generation routed to this shape. Under "auto" every supported
-    shape has a fused Pallas backward (lanes in its native envelope, nhwc
-    beyond it); only FORCED "lanes" on wide maps (W > 128, panel-tiled
-    forward) differentiates through the XLA formulation with both clamps
-    applied."""
+    shape has a fused Pallas backward (lanes in its native envelope,
+    select beyond it); only FORCED "lanes" on wide maps (W > 128,
+    panel-tiled forward) differentiates through the XLA formulation with
+    both clamps applied."""
     from centernet_uda_tpu.ops import dcn_pallas as dp
 
     x, offset, mask, weight, bias = res
@@ -431,14 +419,9 @@ class DCN(nn.Module):
         if pallas_active:
             # surface the offset magnitude so training can detect saturation
             # of the Pallas clamp (collected into the step stats as
-            # ``dcn_max_abs_dy``; uda/base.py). Shapes routed to the nhwc
-            # kernels clamp both components, so monitor the full offset
-            # tensor there; the lanes kernels clamp only dy (even channels)
-            # in their native W<=128 envelope.
-            from centernet_uda_tpu.ops import dcn_pallas as _dp
-
-            monitored = (offset if _dp.generation_for(x.shape) == "nhwc"
-                         else offset[..., 0::2])
+            # ``dcn_max_abs_dy``; uda/base.py). Both generations clamp only
+            # dy (even channels); horizontal sampling is exact.
+            monitored = offset[..., 0::2]
             self.sow("intermediates", "max_abs_dy",
                      jnp.max(jnp.abs(monitored.astype(jnp.float32))))
         op = partial(

@@ -24,8 +24,8 @@ Scope (asserted): kernel 3x3, stride 1, padding 1, dilation 1,
 deformable_groups 1 — exactly the configuration every reference backend
 uses (backends/dla.py:358-367, backends/mobilenetv2.py:146-148).
 
-THREE kernel generations live here; the default "auto" mode routes each
-map shape to the measured-fastest one (``generation_for``):
+TWO kernel generations live here; the default "auto" mode routes each map
+shape to the measured-fastest one (``generation_for``):
 - "lanes" (this banner's design, fastest inside its envelope): W <= 128
   native (small maps lane-pack several images per 128-lane register row,
   ``_pack_factor``), Cin <= 512. Auto routes every such shape here.
@@ -34,16 +34,14 @@ map shape to the measured-fastest one (``generation_for``):
   the native NHWC layout — no transposes, no width/Cin special cases,
   fused backward everywhere, exact horizontal sampling. Auto routes wide
   eval maps (800px pyramid, W=200) and deep heads (MobileNetV2's
-  Cin=1280) here; measured over both "nhwc" and the XLA formulation at
-  those shapes at every offset scale.
-- "nhwc" (legacy, forced-A/B only): slice-and-select via sublane rolls
-  with an O(offset-spread^2) (dy, dx) loop; superseded by "select"
-  (4x200x200x64 std=1.0: select fwd 12.2 / bwd 39.4 ms vs nhwc 70 / 138).
+  Cin=1280) here; measured over the XLA formulation and a retired
+  sublane-roll generation ("nhwc", git history: superseded 5.8x/3.5x at
+  4x200x200x64 std=1.0) at every offset scale.
 
-Vertical offsets are clamped to ``max_shift`` (default 14) pixels — both
-components under "nhwc" — while the reference CUDA kernel allows unbounded
-offsets; trained CenterNet offsets stay well inside this budget (training
-stats surface ``dcn_max_abs_dy`` to catch saturation) — the XLA path
+Vertical offsets are clamped to ``max_shift`` (default 14) pixels — while
+the reference CUDA kernel allows unbounded offsets; trained CenterNet
+offsets stay well inside this budget (training stats surface
+``dcn_max_abs_dy`` to catch saturation) — the XLA path
 (``use_pallas=False``) keeps the exact unbounded semantics.
 """
 
@@ -58,8 +56,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Kernel generation: "auto" (default) routes each map shape to the
-# measured-fastest kernel; "lanes" / "select" / "nhwc" force one
-# generation for A/B benchmarking (tools/bench_dcn_ab.py).
+# measured-fastest kernel; "lanes" / "select" force one generation for
+# A/B benchmarking (tools/bench_dcn_ab.py).
 #   - "lanes": the W-on-lanes one-hot-select kernels — fastest inside
 #     their native envelope (A/B on v5e at std=0.1 across the DLA ladder:
 #     128x128x64 fwd 4.6 / bwd 7.4 ms vs select 8.8 / 26.9), but
@@ -68,13 +66,12 @@ from jax.experimental.pallas import tpu as pltpu
 #   - "select": the same one-hot matmuls in the native NHWC layout — no
 #     staging transposes, any W/Cin, fused backward everywhere, exact
 #     horizontal sampling. A/B on v5e at the lanes-excluded shapes:
-#     4x200x200x64 fwd 6.4 / bwd 20.4 ms at std=0.1 (nhwc: 14.0 / 27.4;
-#     XLA: far slower), fwd 12.2 / bwd 39.4 at std=1.0 (nhwc: 70 / 138).
-#   - "nhwc": legacy sublane-roll kernels with an O(offset-spread^2)
-#     (dy, dx) loop; superseded by "select" everywhere.
+#     4x200x200x64 fwd 6.4 / bwd 20.4 ms at std=0.1, 12.2 / 39.4 at
+#     std=1.0 (the retired "nhwc" sublane-roll generation: 14.0 / 27.4
+#     and 70 / 138 respectively; the XLA formulation: far slower).
 _KERNEL_VERSION = os.environ.get("CENTERNET_DCN_KERNEL", "auto")
 
-_VERSIONS = ("auto", "nhwc", "lanes", "select")
+_VERSIONS = ("auto", "lanes", "select")
 
 
 def set_kernel_version(version: str) -> None:
@@ -96,9 +93,9 @@ def generation_for(x_shape) -> str:
     (8 <= W <= 128 lane extent, Cin <= 512 VMEM working set — measured
     fastest there across the whole DLA ladder, A/B on v5e), the "select"
     kernels everywhere else (wide eval maps, MobileNetV2's 1280-channel
-    neck head; measured over both "nhwc" and the XLA formulation at those
-    shapes) — one generation per shape for BOTH directions, so no shape
-    ever differentiates through the slow XLA formulation."""
+    neck head; measured fastest there at every offset scale) — one
+    generation per shape for BOTH directions, so no shape ever
+    differentiates through the slow XLA formulation."""
     if _KERNEL_VERSION != "auto":
         return _KERNEL_VERSION
     w, cin = x_shape[2], x_shape[3]
@@ -308,13 +305,9 @@ def dcn_v2_pallas(
 ) -> jax.Array:
     """Pallas DCNv2 forward — dispatches per shape to the active kernel
     generation (``generation_for`` / ``set_kernel_version``)."""
-    gen = generation_for(x.shape)
-    if gen == "select":
+    if generation_for(x.shape) == "select":
         return dcn_v2_pallas_select(x, offset, mask, weight, bias,
                                     max_shift=max_shift, interpret=interpret)
-    if gen == "nhwc":
-        return dcn_v2_pallas_nhwc(x, offset, mask, weight, bias,
-                                  max_shift=max_shift, interpret=interpret)
     return dcn_v2_pallas_lanes(x, offset, mask, weight, bias,
                                max_shift=max_shift, interpret=interpret)
 
@@ -329,15 +322,10 @@ def dcn_v2_pallas_bwd(
     interpret: bool = False,
 ):
     """Pallas DCNv2 backward — dispatches like ``dcn_v2_pallas``."""
-    gen = generation_for(x.shape)
-    if gen == "select":
+    if generation_for(x.shape) == "select":
         return dcn_v2_pallas_bwd_select(x, offset, mask, weight, g,
                                         max_shift=max_shift,
                                         interpret=interpret)
-    if gen == "nhwc":
-        return dcn_v2_pallas_bwd_nhwc(x, offset, mask, weight, g,
-                                      max_shift=max_shift,
-                                      interpret=interpret)
     return dcn_v2_pallas_bwd_lanes(x, offset, mask, weight, g,
                                    max_shift=max_shift, interpret=interpret)
 
@@ -709,8 +697,9 @@ def _bwd_stage(x, offset, mask, weight, g, max_shift):
     pad_rows = max_shift + 2
 
     # one (R, Cin, W) accumulator + the (R, W, Cout) cotangent + the
-    # (R, W, W) scatter one-hot bound the block height
-    r_blk = _row_block(h, max(cin, cout) * 2)
+    # (R, W, W) select + (R, W, W) corner contraction bound the block
+    # height (the matmul-based body dropped the old *2 safety factor)
+    r_blk = _row_block(h, max(cin, cout))
     # pad H to whole row blocks (padded rows: zero offsets/mask/cotangent ->
     # zero contributions; outputs sliced back to h)
     h_pad = -(-h // r_blk) * r_blk
@@ -833,451 +822,6 @@ def dcn_v2_pallas_bwd_lanes(
 
 
 # ===========================================================================
-# NHWC slice-and-select kernels ("nhwc" version — round 3)
-# ===========================================================================
-#
-# Rationale (VERDICT r02: DCN is 44% of the train step; candidates (a)-(d)):
-# the lane-gather kernels above (the "lanes" version) pay for
-#   * a W-on-lanes transpose staging of x and the output (measured ~9% of
-#     the whole train step as layout copies),
-#   * per-(tap, shift) ``tpu.dynamic_gather`` calls whose cost repeats the
-#     same per-pixel index across every Cin row,
-#   * an O(W^2) one-hot scatter matmul for dx in the backward,
-#   * lane-extent special cases: packing for W<128, overlapping panels +
-#     XLA backward for W>128, and a Cin<=512 VMEM gate.
-#
-# The NHWC formulation keeps x in its NATIVE layout (Cin on lanes) and
-# replaces gathering entirely: with offsets clamped to ``max_shift`` and x
-# zero-padded by ``pad = max_shift + 2`` on BOTH spatial dims, every
-# bilinear corner sample x[r + rel_y, j + rel_x, :] for the whole (R, W)
-# block at integer displacement (dy, dx) is one contiguous 2-D slice
-# ``xp[r0+pad+dy : .+R, pad+dx : .+W]`` — no shuffle at all. The kernel
-# loops (dy, dx) over the block's ACTUAL displacement bounding box
-# (min/max of floor(p)-base; 2-3 values per axis in the zero-init
-# ``conv_offset_mask`` regime) and accumulates ``weight(dy,dx) * slice``
-# where the per-pixel weight folds the bilinear corner selection, the
-# fractional weights and the modulation mask. Out-of-bounds corners read
-# zeros from the padding — exactly the CUDA sampler's ``p > -1 && p < H``
-# guard (dcn_v2_im2col_cuda.cu:25-54) — so no validity masks are needed.
-#
-# Per tap the 3x3 matmul contracts Cin ON LANES — the native MXU
-# orientation: (R*W, Cin) @ (Cin, Cout). The backward scatters dx with the
-# same slices transposed: dxp[.+dy, .+dx] += weight * (g @ W_t^T), i.e.
-# a read-modify-write slice accumulation instead of a one-hot matmul, and
-# recovers doffset/dmask from the four corner contraction maps
-# vg_c(r,j) = sum_ch x[corner] * gcol — the analytic col2im_coord
-# semantics (dcn_v2_im2col_cuda.cu:82-123) under the clamp.
-#
-# Semantics note: this version clamps BOTH offset components to
-# ``max_shift`` (the lanes version clamps only dy for W<=128); trained
-# CenterNet offsets sit well inside +-14 px and training surfaces
-# ``dcn_max_abs_dy`` for monitoring. It has NO width or Cin special cases:
-# any W (the 800px eval's W=200 included) and any Cin that fits VMEM run
-# the same code path, and the fused backward covers everything.
-
-
-def _nhwc_row_block(h: int, w: int, cin: int) -> int:
-    # (R, W, Cin) f32 working blocks; keep a few of them under ~2 MB
-    budget = max((2 * 1024 * 1024) // max(4 * w * cin, 1), 8)
-    for r in (32, 16, 8):
-        if r <= budget and h % r == 0 and h >= r:
-            return r
-    return min(h, 8)
-
-
-def _tap_geometry(off_ref, mask_ref, rgrid, jgrid, t, max_shift):
-    """Per-tap sampling geometry shared by the fwd and bwd kernels.
-
-    Returns (off_y_raw, off_x_raw, m, fy, fx, rely, relx, bounds) where
-    rely/relx are integer corner displacements relative to the output pixel
-    and bounds = (dy_lo, dy_hi, dx_lo, dx_hi) covers both bilinear corners.
-    """
-    ti, tj = t // 3, t % 3
-    off_y_raw = off_ref[0, :, :, 2 * t]
-    off_x_raw = off_ref[0, :, :, 2 * t + 1]
-    off_y = jnp.clip(off_y_raw, -max_shift, max_shift)
-    off_x = jnp.clip(off_x_raw, -max_shift, max_shift)
-    m = mask_ref[0, :, :, t]
-
-    py = rgrid + (ti - 1) + off_y
-    px = jgrid + (tj - 1) + off_x
-    y0f = jnp.floor(py)
-    x0f = jnp.floor(px)
-    fy = py - y0f
-    fx = px - x0f
-    rely = y0f.astype(jnp.int32) - rgrid.astype(jnp.int32)
-    relx = x0f.astype(jnp.int32) - jgrid.astype(jnp.int32)
-    bounds = (jnp.min(rely), jnp.max(rely) + 1,
-              jnp.min(relx), jnp.max(relx) + 1)
-    return off_y_raw, off_x_raw, m, fy, fx, rely, relx, bounds
-
-
-def _nhwc_fwd_kernel(xp_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, s_ref,
-                     *, h: int, w: int, wp2: int, cin: int, cout: int,
-                     pad: int, max_shift: int, row_block: int):
-    """Program (i, r): image i, row block r. Layouts (all NHWC-native):
-    xp_ref   (1, Hp+2P, Wp2, Cin) bf16  zero-padded both spatial dims;
-             Wp2 = W + 2P rounded up to the sublane tile (8)
-    off_ref  (1, R, W, 18) f32   (dy, dx) interleaved per tap
-    mask_ref (1, R, W, 9)  f32   post-sigmoid modulation
-    w_ref    (9, Cin, Cout) f32  tap-major kernel
-    b_ref    (1, Cout) f32
-    out_ref  (1, R, W, Cout) f32
-    s_ref    (R, W, Cin) f32 scratch: the sampled+modulated tap column
-
-    The x displacement is resolved with a dynamic sublane rotate
-    (``pltpu.roll``): Mosaic requires dynamic-slice starts on the sublane
-    (W) dim to be 8-aligned, so the kernel loads the full padded width per
-    (tap, dy) row block and rolls per dx. Sources stay inside the real
-    padded region for every |dx| <= max_shift+1, so the alignment tail
-    never aliases in.
-    """
-    r_blk = row_block
-    r0 = pl.program_id(1) * r_blk
-    rgrid = (jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 0) + r0
-             ).astype(jnp.float32)
-    jgrid = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 1
-                                     ).astype(jnp.float32)
-
-    out_acc = jnp.zeros((r_blk * w, cout), jnp.float32)
-    for t in range(9):
-        _, _, m, fy, fx, rely, relx, (dy_lo, dy_hi, dx_lo, dx_hi) = (
-            _tap_geometry(off_ref, mask_ref, rgrid, jgrid, t, max_shift))
-
-        s_ref[:] = jnp.zeros((r_blk, w, cin), jnp.float32)
-
-        def dy_body(dy, _, rely=rely, fy=fy, relx=relx, fx=fx, m=m):
-            wy = (jnp.where(rely == dy, 1.0 - fy, 0.0)
-                  + jnp.where(rely + 1 == dy, fy, 0.0)) * m
-
-            @pl.when(jnp.any(wy != 0.0))
-            def _():
-                # f32 before the rotate (dynamic rotate is 32-bit only);
-                # also shares one bf16->f32 convert across all dx shifts
-                rowblk = xp_ref[0, pl.ds(r0 + pad + dy, r_blk)
-                                ].astype(jnp.float32)
-
-                def dx_body(dx, _):
-                    wgt = wy * (jnp.where(relx == dx, 1.0 - fx, 0.0)
-                                + jnp.where(relx + 1 == dx, fx, 0.0))
-
-                    @pl.when(jnp.any(wgt != 0.0))
-                    def _():
-                        # blk[j] = rowblk[pad + dx + j]
-                        blk = pltpu.roll(rowblk, wp2 - pad - dx,
-                                         axis=1)[:, :w]
-                        s_ref[:] = s_ref[:] + wgt[:, :, None] * blk
-
-                    return 0
-
-                jax.lax.fori_loop(dx_lo, dx_hi + 1, dx_body, 0)
-
-            return 0
-
-        jax.lax.fori_loop(dy_lo, dy_hi + 1, dy_body, 0)
-
-        # (R*W, Cin) @ (Cin, Cout): Cin contracts on lanes — native MXU
-        out_acc = out_acc + jax.lax.dot_general(
-            s_ref[:].reshape(r_blk * w, cin).astype(jnp.bfloat16),
-            w_ref[t].astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    out_ref[0] = out_acc.reshape(r_blk, w, cout) + b_ref[0][None, None, :]
-
-
-def _nhwc_stage(x, offset, mask, max_shift, row_block):
-    """Zero-pad x on both spatial dims (the padding IS the out-of-bounds
-    zero semantics; the W dim additionally rounds up to the sublane tile)
-    and pad H of the per-pixel operands to whole row blocks. No transposes
-    — everything stays NHWC."""
-    b, h, w, cin = x.shape
-    pad = max_shift + 2
-    h_pad = -(-h // row_block) * row_block
-    extra = h_pad - h
-    wp2 = -(-(w + 2 * pad) // 8) * 8
-    xp = jnp.pad(x.astype(jnp.bfloat16),
-                 ((0, 0), (pad, pad + extra),
-                  (pad, wp2 - w - pad), (0, 0)))
-    off_p = jnp.pad(offset.astype(jnp.float32),
-                    ((0, 0), (0, extra), (0, 0), (0, 0)))
-    mask_p = jnp.pad(mask.astype(jnp.float32),
-                     ((0, 0), (0, extra), (0, 0), (0, 0)))
-    return xp, off_p, mask_p, pad, h_pad, wp2
-
-
-@functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
-def dcn_v2_pallas_nhwc(
-    x: jax.Array,
-    offset: jax.Array,
-    mask: jax.Array,
-    weight: jax.Array,
-    bias: jax.Array | None = None,
-    max_shift: int = 14,
-    interpret: bool = False,
-) -> jax.Array:
-    """NHWC slice-and-select DCNv2 forward (3x3 / s1 / p1 / d1, any W/Cin).
-
-    Same operand contract as ``ops.dcn.dcn_v2``; BOTH offset components are
-    clamped to ``max_shift``. Returns (B, H, W, Cout) float32.
-    """
-    b, h, w, cin = x.shape
-    kh, kw, _, cout = weight.shape
-    assert (kh, kw) == (3, 3), "pallas DCN kernel is 3x3 only"
-    assert offset.shape == (b, h, w, 18)
-    assert mask.shape == (b, h, w, 9)
-
-    r_blk = _nhwc_row_block(h, w, cin)
-    xp, off_p, mask_p, pad, h_pad, wp2 = _nhwc_stage(
-        x, offset, mask, max_shift, r_blk)
-    w_taps = weight.reshape(9, cin, cout).astype(jnp.float32)
-    bias_in = (bias if bias is not None
-               else jnp.zeros((cout,), jnp.float32)).reshape(1, cout)
-
-    kernel = functools.partial(
-        _nhwc_fwd_kernel, h=h, w=w, wp2=wp2, cin=cin, cout=cout, pad=pad,
-        max_shift=max_shift, row_block=r_blk,
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=(b, h_pad // r_blk),
-        in_specs=[
-            pl.BlockSpec((1, h_pad + 2 * pad, wp2, cin),
-                         lambda i, r: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r_blk, w, 18), lambda i, r: (i, r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r_blk, w, 9), lambda i, r: (i, r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, cin, cout), lambda i, r: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda i, r: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, r_blk, w, cout),
-                               lambda i, r: (i, r, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h_pad, w, cout), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((r_blk, w, cin), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
-        interpret=interpret,
-    )(xp, off_p, mask_p, w_taps, bias_in)
-    return out[:, :h]
-
-
-def _nhwc_bwd_kernel(xp_ref, off_ref, mask_ref, w_ref, g_ref,
-                     doff_ref, dmask_ref, dw_out_ref, dxp_ref,
-                     dw_acc, s_ref, vg_ref, *,
-                     h: int, w: int, wp2: int, cin: int, cout: int,
-                     pad: int, max_shift: int, row_block: int):
-    """All gradients in one source-centric NHWC pass.
-
-    Per tap: gcol = g @ W_t^T once; then over the (dy, dx) bounding box
-      s_t   += wgt * x-slice                      (for dW on the MXU)
-      e      = sum_c x-slice * gcol               (corner contraction map)
-      vg_c  += corner-select(e)                   (four (R, W) maps)
-      dxp[slice] += wgt * gcol                    (RMW slice scatter)
-    and afterwards dW[t] = s_t^T @ g, dmask/doffset close over vg_c with
-    the analytic bilinear-weight derivatives. dxp is the whole zero-padded
-    image block, revisited by every row-block program (sequential TPU grid
-    -> no atomics), trimmed outside.
-    """
-    r_blk = row_block
-    rb = pl.program_id(1)
-    n_rb = pl.num_programs(1)
-    r0 = rb * r_blk
-
-    @pl.when(rb == 0)
-    def _init():
-        dw_acc[:] = jnp.zeros_like(dw_acc)
-        dxp_ref[0] = jnp.zeros_like(dxp_ref[0])
-
-    rgrid = (jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 0) + r0
-             ).astype(jnp.float32)
-    jgrid = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 1
-                                     ).astype(jnp.float32)
-    g_blk = g_ref[0]  # (R, W, Cout)
-    g2 = g_blk.reshape(r_blk * w, cout).astype(jnp.bfloat16)
-
-    for t in range(9):
-        (off_y_raw, off_x_raw, m, fy, fx, rely, relx,
-         (dy_lo, dy_hi, dx_lo, dx_hi)) = _tap_geometry(
-            off_ref, mask_ref, rgrid, jgrid, t, max_shift)
-
-        # gcol = g @ W_t^T: contract Cout on lanes (native MXU)
-        gcol = jax.lax.dot_general(
-            g2, w_ref[t].astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(r_blk, w, cin)
-        gcol_b = gcol.astype(jnp.bfloat16)
-
-        s_ref[:] = jnp.zeros((r_blk, w, cin), jnp.float32)
-        vg_ref[:] = jnp.zeros((4, r_blk, w), jnp.float32)
-
-        def dy_body(dy, _, rely=rely, fy=fy, relx=relx, fx=fx, m=m,
-                    gcol=gcol, gcol_b=gcol_b):
-            sel_y0 = (rely == dy).astype(jnp.float32)
-            sel_y1 = (rely + 1 == dy).astype(jnp.float32)
-
-            @pl.when(jnp.any((sel_y0 + sel_y1) > 0.0))
-            def _():
-                # f32 before the rotate (dynamic rotate is 32-bit only)
-                rowblk = xp_ref[0, pl.ds(r0 + pad + dy, r_blk)
-                                ].astype(jnp.float32)
-
-                def dx_body(dx, _):
-                    sel_x0 = (relx == dx).astype(jnp.float32)
-                    sel_x1 = (relx + 1 == dx).astype(jnp.float32)
-                    any_sel = jnp.any((sel_y0 + sel_y1) * (sel_x0 + sel_x1)
-                                      > 0.0)
-
-                    @pl.when(any_sel)
-                    def _():
-                        # blk[j] = rowblk[pad + dx + j] (sublane roll; see
-                        # the forward kernel's alignment note)
-                        blk = pltpu.roll(rowblk, wp2 - pad - dx,
-                                         axis=1)[:, :w]
-                        wy = sel_y0 * (1.0 - fy) + sel_y1 * fy
-                        wx = sel_x0 * (1.0 - fx) + sel_x1 * fx
-                        wgt = wy * wx * m
-                        s_ref[:] = s_ref[:] + wgt[:, :, None] * blk
-
-                        e = jnp.sum(blk * gcol, axis=2)  # (R, W)
-                        vg_ref[0] = vg_ref[0] + sel_y0 * sel_x0 * e
-                        vg_ref[1] = vg_ref[1] + sel_y0 * sel_x1 * e
-                        vg_ref[2] = vg_ref[2] + sel_y1 * sel_x0 * e
-                        vg_ref[3] = vg_ref[3] + sel_y1 * sel_x1 * e
-
-                        # scatter: dxp[pad+dx+j] += wgt[j] * gcol[j] — the
-                        # update rolls forward and accumulates full-width
-                        # (unaligned sublane writes are not expressible);
-                        # the zero tail wraps into columns < pad+dx only.
-                        upd = jnp.concatenate(
-                            [wgt[:, :, None] * gcol,
-                             jnp.zeros((r_blk, wp2 - w, cin), jnp.float32)],
-                            axis=1)
-                        upd = pltpu.roll(upd, pad + dx, axis=1)
-                        row = r0 + pad + dy
-                        dxp_ref[0, pl.ds(row, r_blk)] = (
-                            dxp_ref[0, pl.ds(row, r_blk)] + upd)
-
-                    return 0
-
-                jax.lax.fori_loop(dx_lo, dx_hi + 1, dx_body, 0)
-
-            return 0
-
-        jax.lax.fori_loop(dy_lo, dy_hi + 1, dy_body, 0)
-
-        # dW[t] = s_t^T @ g: contract the R*W rows on the MXU
-        dw_acc[t] = dw_acc[t] + jax.lax.dot_general(
-            s_ref[:].reshape(r_blk * w, cin).astype(jnp.bfloat16), g2,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-        vg00, vg01, vg10, vg11 = vg_ref[0], vg_ref[1], vg_ref[2], vg_ref[3]
-        # dmask = sum_c u * gcol with u the UNmasked sample
-        dmask_ref[0, :, :, t] = ((1 - fy) * (1 - fx) * vg00
-                                 + (1 - fy) * fx * vg01
-                                 + fy * (1 - fx) * vg10
-                                 + fy * fx * vg11)
-        doff_y = m * (-(1 - fx) * vg00 - fx * vg01
-                      + (1 - fx) * vg10 + fx * vg11)
-        doff_x = m * (-(1 - fy) * vg00 + (1 - fy) * vg01
-                      - fy * vg10 + fy * vg11)
-        # clamp gate: saturated offsets get zero gradient (d clip = 0)
-        doff_ref[0, :, :, 2 * t] = jnp.where(
-            jnp.abs(off_y_raw) < max_shift, doff_y, 0.0)
-        doff_ref[0, :, :, 2 * t + 1] = jnp.where(
-            jnp.abs(off_x_raw) < max_shift, doff_x, 0.0)
-
-    @pl.when(rb == n_rb - 1)
-    def _finalize():
-        dw_out_ref[0] = dw_acc[:]
-
-
-@functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
-def dcn_v2_pallas_bwd_nhwc(
-    x: jax.Array,
-    offset: jax.Array,
-    mask: jax.Array,
-    weight: jax.Array,
-    g: jax.Array,
-    max_shift: int = 14,
-    interpret: bool = False,
-):
-    """Gradients of ``dcn_v2_pallas_nhwc`` w.r.t. (x, offset, mask, weight,
-    bias) — analytic col2im / col2im_coord semantics
-    (src/cuda/dcn_v2_im2col_cuda.cu:197-330) with BOTH offset components
-    clamped to ``max_shift`` like the forward. One fused kernel, any W/Cin.
-    """
-    b, h, w, cin = x.shape
-    cout = weight.shape[3]
-    r_blk = _nhwc_row_block(h, w, max(cin, cout))
-    xp, off_p, mask_p, pad, h_pad, wp2 = _nhwc_stage(
-        x, offset, mask, max_shift, r_blk)
-    w_taps = weight.reshape(9, cin, cout).astype(jnp.float32)
-    g_p = jnp.pad(g.astype(jnp.float32),
-                  ((0, 0), (0, h_pad - h), (0, 0), (0, 0)))
-
-    kernel = functools.partial(
-        _nhwc_bwd_kernel, h=h, w=w, wp2=wp2, cin=cin, cout=cout, pad=pad,
-        max_shift=max_shift, row_block=r_blk,
-    )
-    hp2 = h_pad + 2 * pad
-    doff_p, dmask_p, dw_b, dxp = pl.pallas_call(
-        kernel,
-        grid=(b, h_pad // r_blk),
-        in_specs=[
-            pl.BlockSpec((1, hp2, wp2, cin),
-                         lambda i, r: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r_blk, w, 18), lambda i, r: (i, r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r_blk, w, 9), lambda i, r: (i, r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, cin, cout), lambda i, r: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r_blk, w, cout), lambda i, r: (i, r, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, r_blk, w, 18), lambda i, r: (i, r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r_blk, w, 9), lambda i, r: (i, r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9, cin, cout), lambda i, r: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hp2, wp2, cin),
-                         lambda i, r: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h_pad, w, 18), jnp.float32),
-            jax.ShapeDtypeStruct((b, h_pad, w, 9), jnp.float32),
-            jax.ShapeDtypeStruct((b, 9, cin, cout), jnp.float32),
-            jax.ShapeDtypeStruct((b, hp2, wp2, cin), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((9, cin, cout), jnp.float32),
-            pltpu.VMEM((r_blk, w, cin), jnp.float32),
-            pltpu.VMEM((4, r_blk, w), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
-        interpret=interpret,
-    )(xp, off_p, mask_p, w_taps, g_p)
-
-    dx = dxp[:, pad:pad + h, pad:pad + w].astype(x.dtype)
-    doff = doff_p[:, :h]
-    dmask = dmask_p[:, :h]
-    dweight = dw_b.sum(axis=0).reshape(3, 3, cin, cout).astype(weight.dtype)
-    dbias = g.astype(jnp.float32).sum(axis=(0, 1, 2))
-    return dx, doff, dmask, dweight, dbias
-
-
-# ===========================================================================
 # NHWC one-hot "select" kernels ("select" generation — round 3)
 # ===========================================================================
 #
@@ -1296,8 +840,8 @@ def dcn_v2_pallas_bwd_nhwc(
 #     no Cin<=512 VMEM cliff;
 #   * horizontal offsets are EXACT (unbounded), because a select row spans
 #     the full width and out-of-bounds corners get zero weight — only the
-#     vertical ``max_shift`` clamp remains (same as "lanes" at W<=128,
-#     strictly wider semantics than "nhwc" which clamps both).
+#     vertical ``max_shift`` clamp remains (same semantics as "lanes"
+#     at W<=128).
 # The backward reuses the forward's modulated select matrix for BOTH the
 # dW column accumulation and the dx scatter, and reads doffset/dmask off a
 # corner-contraction matmul E = gcol . src^T — three batched MXU matmuls

@@ -53,9 +53,9 @@ _SLOW = (
     "test_dcn_pallas.py::test_matches_xla_within_clamp",
     "test_dcn_pallas.py::test_lane_packed_small_maps",
     "test_dcn_pallas.py::test_wide_maps",
-    "test_dcn_pallas.py::test_wide_map_fused_backward_nhwc",
-    "test_dcn_pallas.py::test_large_cin_nhwc",
-    "test_dcn_pallas.py::test_bf16_input_nhwc",
+    "test_dcn_pallas.py::test_wide_map_fused_backward_select",
+    "test_dcn_pallas.py::test_large_cin_select",
+    "test_dcn_pallas.py::test_bf16_input_select",
     "test_dcn_pallas.py::test_clamp_semantics",
     "test_dcn_pallas.py::test_zero_offsets_exact_structure",
     "test_multihost.py",

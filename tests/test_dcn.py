@@ -211,9 +211,9 @@ def test_pallas_gate_envelope():
 
     old = dcn_pallas.get_kernel_version()
     try:
-        # default "auto": lanes envelope OR nhwc envelope — every reference
-        # backend shape (incl. MobileNetV2's 1280-ch head and the 800px
-        # pyramid) is on SOME fused Pallas path
+        # default "auto": lanes envelope OR select envelope — every
+        # reference backend shape (incl. MobileNetV2's 1280-ch head and
+        # the 800px pyramid) is on SOME fused Pallas path
         dcn_pallas.set_kernel_version("auto")
         assert sup(8, 64) and sup(128, 64) and sup(200, 64)
         assert sup(16, 1280) and sup(4, 64) and sup(200, 64, h=200)
@@ -229,7 +229,7 @@ def test_pallas_gate_envelope():
         assert not sup(64, 64, stride=2)
         assert not sup(64, 64, k=5)
 
-        dcn_pallas.set_kernel_version("nhwc")
+        dcn_pallas.set_kernel_version("select")
         # no width or channel special cases — only geometry + VMEM
         assert sup(4, 64) and sup(128, 64) and sup(200, 64)
         assert sup(16, 1280)             # MobileNetV2 neck head: fast path
@@ -256,7 +256,7 @@ def test_slow_path_warnings(caplog):
     old = dcn_pallas.get_kernel_version()
 
     try:
-        # ----- default "auto": wide / deep maps route to nhwc, so the
+        # ----- default "auto": wide / deep maps route to select, so the
         # round-2 fallback shapes are all on a fused fast path (silent)
         dcn_pallas.set_kernel_version("auto")
         with caplog.at_level(logging.WARNING,
@@ -305,8 +305,8 @@ def test_slow_path_warnings(caplog):
             dcn_mod.DCN(features=8, use_pallas=True).init(rng, x_big)
         assert not any("Cin > 512" in r.message for r in caplog.records)
 
-        # ----- "nhwc" generation (default): no Cin/W fallbacks ... -----
-        dcn_pallas.set_kernel_version("nhwc")
+        # ----- "select" generation: no Cin/W fallbacks ... -----
+        dcn_pallas.set_kernel_version("select")
         with caplog.at_level(logging.WARNING,
                              logger="centernet_uda_tpu.ops.dcn"):
             jax.eval_shape(dcn_mod.DCN(features=8, use_pallas=True).init,
@@ -319,7 +319,7 @@ def test_slow_path_warnings(caplog):
                              logger="centernet_uda_tpu.ops.dcn"):
             dcn_mod.DCN(features=8, kernel_size=(5, 5), padding=2,
                         use_pallas=True).init(rng, jnp.zeros((1, 8, 18, 8)))
-        assert any("NHWC Pallas kernel envelope" in r.message
+        assert any("select Pallas kernel envelope" in r.message
                    for r in caplog.records)
         caplog.clear()
 

@@ -4,15 +4,13 @@ the TPU benchmarks).
 Two kernel generations are covered (ops/dcn_pallas.py); the default
 "auto" mode routes each shape to the measured-fastest one
 (``generation_for``):
-- "lanes": the W-on-lanes gather kernels (W<=128 native, lane packing,
-  W>128 overlapping panels, Cin<=512); only dy clamps for W<=128. Auto
-  picks these inside their native envelope (fastest on v5e by 3-15x).
-- "nhwc": slice-and-select in the native layout; BOTH offset components
-  clamp to max_shift; one code path for any W/Cin with a fused backward
-  everywhere. Auto picks these beyond the lanes envelope.
-- "select": NHWC one-hot select matmuls — native layout like "nhwc" but
-  the x-resolve rides the MXU, so only dy clamps (horizontal sampling is
-  exact) and there are no width/channel special cases at all.
+- "lanes": the W-on-lanes one-hot-select kernels (W<=128 native, lane
+  packing, W>128 overlapping panels, Cin<=512); only dy clamps for
+  W<=128. Auto picks these inside their native envelope.
+- "select": NHWC one-hot select matmuls — native layout, the x-resolve
+  rides the MXU, only dy clamps (horizontal sampling is exact), no
+  width/channel special cases at all. Auto picks these beyond the lanes
+  envelope.
 
 Each is checked against the exact XLA formulation under its documented
 clamp semantics.
@@ -29,13 +27,13 @@ from centernet_uda_tpu.ops.dcn_pallas import (
     dcn_v2_pallas,
     dcn_v2_pallas_bwd,
     dcn_v2_pallas_bwd_lanes,
-    dcn_v2_pallas_bwd_nhwc,
+    dcn_v2_pallas_bwd_select,
     dcn_v2_pallas_lanes,
-    dcn_v2_pallas_nhwc,
+    dcn_v2_pallas_select,
 )
 
 
-@pytest.fixture(params=["nhwc", "lanes", "select"])
+@pytest.fixture(params=["lanes", "select"])
 def kver(request):
     old = dcn_pallas.get_kernel_version()
     dcn_pallas.set_kernel_version(request.param)
@@ -57,11 +55,9 @@ def xla_clamped(version, max_shift=PALLAS_MAX_SHIFT):
 
     def ref(x, off, m, wgt, bias):
         o = off.reshape(off.shape[:-1] + (9, 2))
-        if version == "nhwc":
-            o = jnp.clip(o, -max_shift, max_shift)
-        else:  # "lanes" (W<=128) and "select": vertical clamp only
-            oy = jnp.clip(o[..., 0], -max_shift, max_shift)
-            o = jnp.stack([oy, o[..., 1]], -1)
+        # "lanes" (W<=128) and "select": vertical clamp only
+        oy = jnp.clip(o[..., 0], -max_shift, max_shift)
+        o = jnp.stack([oy, o[..., 1]], -1)
         return dcn_v2(x, o.reshape(off.shape), m, wgt, bias)
 
     return ref
@@ -125,12 +121,13 @@ def test_zero_offsets_exact_structure(rng, kver):
 
 
 def test_clamp_semantics(rng, kver):
-    """Offsets beyond max_shift are clamped (documented deviation):
-    dy under both generations; dx additionally under nhwc."""
+    """Vertical offsets beyond max_shift are clamped (documented
+    deviation); horizontal sampling is exact under both generations at
+    W <= 128 (far-out dx corners read zeros, like the CUDA sampler)."""
     x, _, m, wgt, bias = make_inputs(rng, off_scale=0.0)
     off = np.zeros((2, 16, 16, 18), np.float32)
     off[..., 0] = 100.0   # first tap dy far out of budget
-    off[..., 3] = -50.0   # second tap dx out of budget (nhwc clamps it)
+    off[..., 3] = -50.0   # second tap dx far out of the map (exact: zeros)
     off = jnp.asarray(off)
 
     got = np.asarray(dcn_v2_pallas(x, off, m, wgt, bias, max_shift=4,
@@ -153,8 +150,8 @@ def test_auto_generation_routing():
     try:
         dcn_pallas.set_kernel_version("lanes")
         assert dcn_pallas.generation_for((4, 200, 200, 64)) == "lanes"
-        dcn_pallas.set_kernel_version("nhwc")
-        assert dcn_pallas.generation_for((16, 128, 128, 64)) == "nhwc"
+        dcn_pallas.set_kernel_version("select")
+        assert dcn_pallas.generation_for((16, 128, 128, 64)) == "select"
         with pytest.raises(ValueError):
             dcn_pallas.set_kernel_version("bogus")
     finally:
@@ -177,8 +174,8 @@ def test_unsupported_shapes_fall_back(rng):
 
 def test_wide_maps(rng, kver):
     """W > 128 (the 800px eval pyramid, W=200): overlapping panels under
-    lanes, the ordinary code path under nhwc; both clamp dx and must match
-    the XLA reference with both offset clamps."""
+    lanes (which additionally clamp dx so a panel never samples outside
+    its window), the ordinary exact code path under select."""
     b, h, w, cin, cout = 1, 8, 140, 8, 8
     x = jnp.asarray(rng.randn(b, h, w, cin).astype(np.float32))
     off = jnp.asarray((rng.randn(b, h, w, 18) * 1.5).astype(np.float32))
@@ -186,13 +183,20 @@ def test_wide_maps(rng, kver):
     wgt = jnp.asarray((rng.randn(3, 3, cin, cout) * 0.1).astype(np.float32))
     bias = jnp.asarray(rng.randn(cout).astype(np.float32))
 
-    want = np.asarray(xla_clamped("nhwc")(x, off, m, wgt, bias))
+    if kver == "lanes":
+        def ref(x, off, m, wgt, bias):
+            o = off.reshape(off.shape[:-1] + (9, 2))
+            o = jnp.clip(o, -PALLAS_MAX_SHIFT, PALLAS_MAX_SHIFT)
+            return dcn_v2(x, o.reshape(off.shape), m, wgt, bias)
+    else:
+        ref = xla_clamped(kver)
+    want = np.asarray(ref(x, off, m, wgt, bias))
     got = np.asarray(dcn_v2_pallas(x, off, m, wgt, bias, interpret=True))
     np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
 
 
-def test_wide_map_fused_backward_nhwc(rng):
-    """nhwc has NO W>128 backward fallback (closes VERDICT r02 weak #4):
+def test_wide_map_fused_backward_select(rng):
+    """select has NO W>128 backward fallback (closes VERDICT r02 weak #4):
     the fused kernel differentiates wide maps directly."""
     b, h, w, cin, cout = 1, 8, 140, 8, 8
     x = jnp.asarray(rng.randn(b, h, w, cin).astype(np.float32))
@@ -202,13 +206,13 @@ def test_wide_map_fused_backward_nhwc(rng):
     bias = jnp.asarray(rng.randn(cout).astype(np.float32))
     g = jnp.asarray(rng.randn(b, h, w, cout).astype(np.float32))
 
-    got = dcn_v2_pallas_bwd_nhwc(x, off, m, wgt, g, interpret=True)
-    _, vjp = jax.vjp(xla_clamped("nhwc"), x, off, m, wgt, bias)
+    got = dcn_v2_pallas_bwd_select(x, off, m, wgt, g, interpret=True)
+    _, vjp = jax.vjp(xla_clamped("select"), x, off, m, wgt, bias)
     assert_grads_close(got, vjp(g))
 
 
-def test_large_cin_nhwc(rng):
-    """nhwc has no Cin<=512 gate: MobileNetV2's 1280-channel neck head
+def test_large_cin_select(rng):
+    """select has no Cin<=512 gate: MobileNetV2's 1280-channel neck head
     (small spatial map) runs the fused kernels."""
     from centernet_uda_tpu.ops.dcn import _pallas_supported
 
@@ -220,21 +224,21 @@ def test_large_cin_nhwc(rng):
     bias = jnp.asarray(rng.randn(cout).astype(np.float32))
 
     old = dcn_pallas.get_kernel_version()
-    dcn_pallas.set_kernel_version("nhwc")
+    dcn_pallas.set_kernel_version("select")
     try:
         assert _pallas_supported(x, wgt, 1, 1, 1)
-        want = np.asarray(xla_clamped("nhwc")(x, off, m, wgt, bias))
-        got = np.asarray(dcn_v2_pallas_nhwc(x, off, m, wgt, bias,
-                                            interpret=True))
+        want = np.asarray(xla_clamped("select")(x, off, m, wgt, bias))
+        got = np.asarray(dcn_v2_pallas_select(x, off, m, wgt, bias,
+                                              interpret=True))
         np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
     finally:
         dcn_pallas.set_kernel_version(old)
 
 
-def test_bf16_input_nhwc(rng):
-    """bfloat16 feature maps (the training default) through the nhwc path."""
+def test_bf16_input_select(rng):
+    """bfloat16 feature maps (the training default) through select."""
     x, off, m, wgt, bias = make_inputs(rng, off_scale=1.0)
-    got = np.asarray(dcn_v2_pallas_nhwc(
+    got = np.asarray(dcn_v2_pallas_select(
         x.astype(jnp.bfloat16), off, m, wgt.astype(jnp.bfloat16), bias,
         interpret=True))
     want = np.asarray(dcn_v2(x, off, m, wgt, bias))

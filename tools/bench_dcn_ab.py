@@ -1,4 +1,4 @@
-"""A/B benchmark: nhwc vs lanes Pallas DCN kernels vs the XLA path.
+"""A/B benchmark: select vs lanes Pallas DCN kernels vs the XLA path.
 
 SHAPES env: comma-separated BxHxWxCin specs (default the hot DLA layer).
 OFFSET_STD env: offset spread in px (default "0.1,1.0").
@@ -56,7 +56,7 @@ for spec in shapes.split(","):
 
     for std in stds:
         off = jnp.asarray((rng.randn(b,h,w,18)*std).astype(np.float32))
-        for ver in ("nhwc", "lanes"):
+        for ver in ("select", "lanes"):
             dp.set_kernel_version(ver)
             try:
                 fwd = jax.jit(lambda *a, _v=ver: dp.dcn_v2_pallas(*a))

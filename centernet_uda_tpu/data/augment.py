@@ -360,6 +360,103 @@ class Rotate(Affine):
         super().__init__(rotate=rotate)
 
 
+class Add(Augmenter):
+    """imgaug.Add: add a (possibly per-channel) constant to all pixels."""
+
+    def __init__(self, value: Range = (-20, 20), per_channel: bool = False):
+        self.value = value
+        self.per_channel = per_channel
+
+    def apply(self, image, boxes, keypoints, rng):
+        if self.per_channel and image.ndim == 3:
+            v = np.array([_sample(self.value, rng)
+                          for _ in range(image.shape[2])], np.float32)
+        else:
+            v = _sample(self.value, rng)
+        image = np.clip(image.astype(np.float32) + v, 0, 255).astype(np.uint8)
+        return image, boxes, keypoints
+
+
+class AddToSaturation(Augmenter):
+    def __init__(self, value: Range = (-30, 30)):
+        self.value = value
+
+    def apply(self, image, boxes, keypoints, rng):
+        v = _sample(self.value, rng)
+        hsv = cv2.cvtColor(image, cv2.COLOR_RGB2HSV).astype(np.int16)
+        hsv[..., 1] = np.clip(hsv[..., 1] + int(v), 0, 255)
+        image = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+        return image, boxes, keypoints
+
+
+class Sharpen(Augmenter):
+    """imgaug.Sharpen: blend the image with a sharpening kernel response.
+
+    kernel = (1-alpha)*identity + alpha*[[-1,-1,-1],[-1,8+lightness,-1],
+    [-1,-1,-1]] — matching imgaug's matrix construction, so YAML params
+    (``alpha``, ``lightness``) carry over unchanged."""
+
+    def __init__(self, alpha: Range = (0.0, 0.2),
+                 lightness: Range = (0.8, 1.2)):
+        self.alpha = alpha
+        self.lightness = lightness
+
+    def apply(self, image, boxes, keypoints, rng):
+        a = _sample(self.alpha, rng)
+        light = _sample(self.lightness, rng)
+        ident = np.zeros((3, 3), np.float32)
+        ident[1, 1] = 1.0
+        effect = np.full((3, 3), -1.0, np.float32)
+        effect[1, 1] = 8.0 + light
+        kernel = (1.0 - a) * ident + a * effect
+        image = cv2.filter2D(image, -1, kernel)
+        return np.clip(image, 0, 255).astype(np.uint8), boxes, keypoints
+
+
+class Dropout(Augmenter):
+    """imgaug.Dropout: zero each pixel independently with probability p."""
+
+    def __init__(self, p: Range = (0.0, 0.05), per_channel: bool = False):
+        self.p = p
+        self.per_channel = per_channel
+
+    def apply(self, image, boxes, keypoints, rng):
+        p = _sample(self.p, rng)
+        if p <= 0:
+            return image, boxes, keypoints
+        shape = image.shape if self.per_channel else image.shape[:2]
+        keep = (rng.rand(*shape) >= p)
+        if not self.per_channel and image.ndim == 3:
+            keep = keep[..., None]
+        return (image * keep).astype(np.uint8), boxes, keypoints
+
+
+class CoarseDropout(Augmenter):
+    """imgaug.CoarseDropout: drop rectangular regions by sampling the
+    per-pixel dropout mask at ``size_percent`` of the image resolution and
+    upscaling it (nearest), so dropped cells form coarse blocks."""
+
+    def __init__(self, p: Range = 0.1, size_percent: Range = (0.02, 0.1),
+                 per_channel: bool = False):
+        self.p = p
+        self.size_percent = size_percent
+        self.per_channel = per_channel
+
+    def apply(self, image, boxes, keypoints, rng):
+        p = _sample(self.p, rng)
+        sp = _sample(self.size_percent, rng)
+        if p <= 0 or sp <= 0:
+            return image, boxes, keypoints
+        h, w = image.shape[:2]
+        mh, mw = max(int(h * sp), 1), max(int(w * sp), 1)
+        n_ch = image.shape[2] if (self.per_channel and image.ndim == 3) else 1
+        keep = (rng.rand(mh, mw, n_ch) >= p).astype(np.uint8)
+        keep = cv2.resize(keep, (w, h), interpolation=cv2.INTER_NEAREST)
+        if keep.ndim == 2:
+            keep = keep[..., None] if image.ndim == 3 else keep
+        return (image * keep).astype(np.uint8), boxes, keypoints
+
+
 _REGISTRY = {
     "Sequential": Sequential,
     "Sometimes": Sometimes,
@@ -377,6 +474,11 @@ _REGISTRY = {
     "AdditiveGaussianNoise": AdditiveGaussianNoise,
     "Grayscale": Grayscale,
     "Rotate": Rotate,
+    "Add": Add,
+    "AddToSaturation": AddToSaturation,
+    "Sharpen": Sharpen,
+    "Dropout": Dropout,
+    "CoarseDropout": CoarseDropout,
 }
 
 

@@ -131,7 +131,14 @@ def export_optimized_hlo(serve_fn, input_shape, out_path: Path) -> Path:
 
 
 def export_savedmodel(serve_fn, input_shape, out_path: Path) -> Optional[Path]:
-    """Optional TF SavedModel via jax2tf (for TFLite/TF-Serving pipelines)."""
+    """Optional TF SavedModel via jax2tf (for TFLite/TF-Serving pipelines).
+
+    Registers a named ``serving_default`` signature (the stock TF-Serving
+    contract) with named float32 outputs — ``boxes``/``scores``/``classes``
+    [/``keypoints``] in decode mode, the raw head names otherwise — so the
+    artifact is loadable by ``tf.saved_model.load`` and servable without
+    knowing the exporting framework.
+    """
     try:
         import tensorflow as tf
         from jax.experimental import jax2tf
@@ -140,15 +147,25 @@ def export_savedmodel(serve_fn, input_shape, out_path: Path) -> Optional[Path]:
                     exc)
         return None
 
+    def named_outputs(x):
+        out = serve_fn(x)
+        if isinstance(out, dict):  # raw heads (--without-decode)
+            return out
+        names = ("boxes", "scores", "classes", "keypoints")
+        return dict(zip(names, out))
+
     tf_fn = tf.function(
-        jax2tf.convert(serve_fn, with_gradient=False),
-        input_signature=[tf.TensorSpec(input_shape, tf.float32)],
+        jax2tf.convert(named_outputs, with_gradient=False),
+        input_signature=[tf.TensorSpec(input_shape, tf.float32, name="input")],
         autograph=False,
     )
     module = tf.Module()
     module.serve = tf_fn
     out_dir = out_path.with_suffix(".savedmodel")
-    tf.saved_model.save(module, str(out_dir))
+    tf.saved_model.save(
+        module, str(out_dir),
+        signatures={"serving_default": tf_fn.get_concrete_function()},
+    )
     log.info("wrote %s", out_dir)
     return out_dir
 

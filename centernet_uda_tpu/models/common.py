@@ -176,6 +176,87 @@ class UpsampleConvNeck(nn.Module):
         return x
 
 
+class ConvParams(nn.Module):
+    """Declares ``nn.Conv``-compatible parameters without applying the conv.
+
+    Same variable layout ({kernel, bias}, float32, lecun-normal/zeros init)
+    as ``nn.Conv(name=...)``, so checkpoints and the torch-import shims are
+    oblivious to whether the conv ran standalone or merged (see
+    ``apply_merged_heads``)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    in_features: int
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self) -> Tuple[jax.Array, jax.Array]:
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, self.in_features, self.features), jnp.float32)
+        bias = self.param("bias", self.bias_init, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
+def apply_merged_heads(
+    feat: jax.Array,
+    conv_params: Sequence[Tuple[jax.Array, jax.Array]],
+    out_params: Sequence[Tuple[jax.Array, jax.Array]],
+    head_names: Sequence[str],
+    head_channels: Sequence[int],
+    dtype,
+    final_kernel: int = 1,
+) -> Dict[str, jax.Array]:
+    """Run all prediction heads as TWO convolutions instead of 2-per-head.
+
+    The per-head 3x3 convs all read the same feature map; profiling the
+    DLA-34 train step showed them (plus their backward) at ~7.7 ms of a
+    116 ms step because each pass re-reads ``feat`` and the tiny-channel
+    1x1 backward runs at ~1% MFU. Mathematically identical regrouping:
+
+    - the 3x3 convs concatenate along the output-channel axis
+      (conv distributes over output concat),
+    - the per-head 1x1 (or ``final_kernel``) convs become ONE conv with a
+      block-diagonal kernel, so each head output still sees only its own
+      256-block of the merged hidden layer.
+
+    Parameters stay per-head (``ConvParams``), so this is a pure
+    compute-graph transformation with byte-identical checkpoints.
+    """
+    hidden = [k.shape[-1] for k, _ in conv_params]
+    wc = jnp.concatenate([k for k, _ in conv_params], axis=-1).astype(dtype)
+    bc = jnp.concatenate([b for _, b in conv_params], axis=0).astype(dtype)
+    z = jax.lax.conv_general_dilated(
+        feat.astype(dtype), wc, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    z = nn.relu(z + bc)
+
+    fk = final_kernel
+    total_in = sum(hidden)
+    total_out = sum(head_channels)
+    wo = jnp.zeros((fk, fk, total_in, total_out), jnp.float32)
+    i_off = o_off = 0
+    for (k, _), hid, cout in zip(out_params, hidden, head_channels):
+        wo = wo.at[:, :, i_off:i_off + hid, o_off:o_off + cout].set(k)
+        i_off += hid
+        o_off += cout
+    bo = jnp.concatenate([b for _, b in out_params], axis=0).astype(dtype)
+    pad = fk // 2
+    y = jax.lax.conv_general_dilated(
+        z, wo.astype(dtype), (1, 1), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = (y + bo).astype(jnp.float32)
+
+    out = {}
+    o_off = 0
+    for head, cout in zip(head_names, head_channels):
+        out[head] = y[..., o_off:o_off + cout]
+        o_off += cout
+    return out
+
+
 class CenterNetHeads(nn.Module):
     """Per-task prediction heads.
 
@@ -184,6 +265,9 @@ class CenterNetHeads(nn.Module):
     heatmap head's final bias can be initialized to ``hm_bias`` (-2.19 for
     DLA, backends/dla.py:485,493) so initial peak probabilities start near
     the focal-loss-friendly 0.1.
+
+    All heads execute as two merged convolutions (``apply_merged_heads``)
+    with unchanged per-head parameters.
     """
 
     heads: Dict[str, int]
@@ -193,19 +277,21 @@ class CenterNetHeads(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Dict[str, jax.Array]:
-        out = {}
-        for head in sorted(self.heads):
-            num_output = self.heads[head]
-            y = nn.Conv(self.head_conv, (3, 3), padding="SAME", use_bias=True,
-                        dtype=self.dtype, name=f"{head}_conv")(x)
-            y = nn.relu(y)
+        names = sorted(self.heads)
+        conv_params, out_params = [], []
+        for head in names:
+            conv_params.append(ConvParams(
+                self.head_conv, (3, 3), x.shape[-1],
+                name=f"{head}_conv")())
             bias_init = nn.initializers.zeros
             if head == "hm" and self.hm_bias is not None:
                 bias_init = nn.initializers.constant(self.hm_bias)
-            y = nn.Conv(num_output, (1, 1), use_bias=True, dtype=self.dtype,
-                        bias_init=bias_init, name=f"{head}_out")(y)
-            out[head] = y.astype(jnp.float32)
-        return out
+            out_params.append(ConvParams(
+                self.heads[head], (1, 1), self.head_conv,
+                bias_init=bias_init, name=f"{head}_out")())
+        return apply_merged_heads(
+            x, conv_params, out_params, names,
+            [self.heads[h] for h in names], self.dtype)
 
 
 def make_heads_dict(num_classes: int, num_keypoints: int, rotated_boxes: bool

@@ -54,50 +54,66 @@ DLA34_CHANNELS = (16, 32, 64, 128, 256, 512)
 # ---------------------------------------------------------------------------
 
 
-def _s2d(x: jax.Array) -> jax.Array:
-    """(B, H, W, C) -> (B, H/2, W/2, 4C), phase-major channel layout."""
+def _s2d(x: jax.Array, pack: int = 2) -> jax.Array:
+    """(B, H, W, C) -> (B, H/p, W/p, p*p*C), phase-major channel layout."""
+    p = pack
     b, h, w, c = x.shape
-    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    x = x.reshape(b, h // p, p, w // p, p, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // p, w // p, p * p * c)
 
 
 def _d2s(x: jax.Array) -> jax.Array:
-    """Inverse of ``_s2d``."""
+    """Inverse of ``_s2d`` (pack 2)."""
     b, h2, w2, c4 = x.shape
     c = c4 // 4
     x = x.reshape(b, h2, w2, 2, 2, c)
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h2, 2 * w2, c)
 
 
+def _repack4_to2(x: jax.Array) -> jax.Array:
+    """Phase-layout change: 4x4-packed (B, H, W, 16C) -> 2x2-packed
+    (B, 2H, 2W, 4C). Original pixel y = 4Y + ai splits as
+    y = 2*(2Y + ahi) + alo with ai = 2*ahi + alo — the high phase bits
+    move onto the (doubled) grid, the low bits stay packed."""
+    b, h, w, c16 = x.shape
+    c = c16 // 16
+    x = x.reshape(b, h, w, 2, 2, 2, 2, c)  # (ahi, alo, ajhi, ajlo, c)
+    x = x.transpose(0, 1, 3, 2, 5, 4, 6, 7)
+    return x.reshape(b, 2 * h, 2 * w, 4 * c)
+
+
 @functools.lru_cache(maxsize=None)
-def _s2d_weight_map(k: int, cin: int, cout: int, stride: int):
+def _s2d_weight_map(k: int, cin: int, cout: int, stride: int, pack: int = 2):
     """Constant gather map turning an HWIO (k,k,cin,cout) kernel into its
-    space-to-depth equivalent.
+    space-to-depth equivalent for a ``pack`` x ``pack`` phase packing.
 
     Returns (idx, valid, pad) where idx indexes the flattened original
     kernel, valid zeroes unmapped taps, and pad is the packed-conv padding.
-    stride 1 -> packed output (phase-major 4*cout); stride 2 -> unpacked
-    output (the stride-2 grid IS the packed grid).
+    stride 1 -> packed output (phase-major pack^2*cout); stride 2 (pack 2
+    only) -> unpacked output (the stride-2 grid IS the packed grid).
     """
+    assert stride == 1 or (stride, pack) == (2, 2)
     p = k // 2
-    out_phases = [(0, 0), (0, 1), (1, 0), (1, 1)] if stride == 1 else [(0, 0)]
+    P = pack
+    out_phases = ([(bi, bj) for bi in range(P) for bj in range(P)]
+                  if stride == 1 else [(0, 0)])
     # packed tap range (union over phases)
-    offs = [math.floor((b + u - p) / 2)
+    offs = [math.floor((b + u - p) / P)
             for b in {ph[0] for ph in out_phases} for u in range(k)]
     d_lo, d_hi = min(offs), max(offs)
     kp = d_hi - d_lo + 1
     cout_p = len(out_phases) * cout
 
-    idx = np.zeros((kp, kp, 4 * cin, cout_p), np.int32)
-    valid = np.zeros((kp, kp, 4 * cin, cout_p), np.float32)
+    idx = np.zeros((kp, kp, P * P * cin, cout_p), np.int32)
+    valid = np.zeros((kp, kp, P * P * cin, cout_p), np.float32)
     for pi, (bi, bj) in enumerate(out_phases):
         for u in range(k):
             for v in range(k):
                 si, sj = bi + u - p, bj + v - p
-                di, dj = math.floor(si / 2) - d_lo, math.floor(sj / 2) - d_lo
-                ai, aj = si % 2, sj % 2
+                di, dj = math.floor(si / P) - d_lo, math.floor(sj / P) - d_lo
+                ai, aj = si % P, sj % P
                 for c in range(cin):
-                    ci = (ai * 2 + aj) * cin + c
+                    ci = (ai * P + aj) * cin + c
                     lin = ((u * k + v) * cin + c) * cout
                     idx[di, dj, ci, pi * cout:(pi + 1) * cout] = (
                         lin + np.arange(cout))
@@ -119,6 +135,7 @@ class _S2DConv(nn.Module):
     stride: int
     in_features: int
     dtype: Any = jnp.float32
+    pack: int = 2
 
     @nn.compact
     def __call__(self, xp: jax.Array) -> jax.Array:
@@ -128,7 +145,8 @@ class _S2DConv(nn.Module):
             jnp.float32,
         )
         idx, valid, pad = _s2d_weight_map(
-            self.kernel, self.in_features, self.features, self.stride)
+            self.kernel, self.in_features, self.features, self.stride,
+            self.pack)
         wp = (jnp.take(w.reshape(-1), jnp.asarray(idx))
               * jnp.asarray(valid)).astype(self.dtype)
         return jax.lax.conv_general_dilated(
@@ -275,6 +293,7 @@ class DLATrunk(nn.Module):
     levels: Sequence[int] = DLA34_LEVELS
     channels: Sequence[int] = DLA34_CHANNELS
     stem_s2d: bool = True
+    base_pack: int = 4  # phase packing for the Cin=3 base conv (2 or 4)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -297,10 +316,19 @@ class DLATrunk(nn.Module):
                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
         if use_s2d:
             # exact space-to-depth stem (see module comment above): same
-            # params, same outputs, 4x the lane utilization at C=16
-            xp = _s2d(x)
-            xp = _S2DConv(ch[0], 7, 1, x.shape[-1], dtype=self.dtype,
-                          name="base_conv")(xp)
+            # params, same outputs, 4x the lane utilization at C=16.
+            # The base 7x7 conv has Cin=3: 2x2 packing still feeds the MXU
+            # only 12 contraction channels, so it packs 4x4 (Cin=48,
+            # Cout=256, a 3x3 packed kernel at H/4) and rephases to the
+            # 2x2 layout the rest of the stem runs in.
+            if (self.base_pack == 4
+                    and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0):
+                xp = _S2DConv(ch[0], 7, 1, x.shape[-1], dtype=self.dtype,
+                              pack=4, name="base_conv")(_s2d(x, 4))
+                xp = _repack4_to2(xp)
+            else:
+                xp = _S2DConv(ch[0], 7, 1, x.shape[-1], dtype=self.dtype,
+                              name="base_conv")(_s2d(x))
             xp = _phased_bn(xp, train, "base_bn", self.dtype)
             xp = nn.relu(xp)
             for i in range(self.levels[0]):

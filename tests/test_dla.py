@@ -126,6 +126,27 @@ def test_s2d_stem_matches_plain_stem():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
 
 
+def test_s2d_base_conv_pack4_equals_pack2():
+    """The 4x4-packed base conv (+ phase repack to the 2x2 layout) is an
+    exact rewrite of the 2x2-packed one: same params, same output layout.
+    Valid DLA inputs are multiples of 32, so the pack-4 route always
+    applies in the trunk; this pins the two packings against each other
+    directly (and thereby the pack-2 fallback for H,W % 4 != 0 sizes)."""
+    from centernet_uda_tpu.models.dla import (
+        _S2DConv, _repack4_to2, _s2d)
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 36, 36, 3).astype(np.float32))
+    m2 = _S2DConv(16, 7, 1, 3, pack=2)
+    m4 = _S2DConv(16, 7, 1, 3, pack=4)
+    v = m2.init(jax.random.PRNGKey(0), _s2d(x))
+    out2 = m2.apply(v, _s2d(x))
+    out4 = _repack4_to2(m4.apply(v, _s2d(x, 4)))
+    assert out2.shape == out4.shape
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out4),
+                               atol=1e-4)
+
+
 def test_dtype_threads_through_trunk():
     """Regression: DLASeg(dtype=bf16) must run the trunk in bf16 (a
     positional-arg slip once routed dtype into stem_s2d, silently running

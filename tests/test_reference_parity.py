@@ -91,6 +91,68 @@ def _compare_heads(ref_out, flax_out, atol):
             err_msg=f"head {head!r} diverges from the reference forward")
 
 
+@pytest.fixture()
+def reference_dla(monkeypatch):
+    """Import the reference backends/dla.py with the DCNv2 extension import
+    stubbed (the bare ``DLA`` trunk, backends/dla.py:227-295, never
+    constructs a DCN — only the DeformConv neck at :358 does)."""
+    monkeypatch.syspath_prepend(str(REFERENCE))
+    import types
+
+    libs = types.ModuleType("libs")
+    dcnv2_pkg = types.ModuleType("libs.DCNv2")
+    dcn_v2_mod = types.ModuleType("libs.DCNv2.dcn_v2")
+    dcn_v2_mod.DCN = None
+    monkeypatch.setitem(sys.modules, "libs", libs)
+    monkeypatch.setitem(sys.modules, "libs.DCNv2", dcnv2_pkg)
+    monkeypatch.setitem(sys.modules, "libs.DCNv2.dcn_v2", dcn_v2_mod)
+    # backends/dla.py:15 imports torchsummary (unused at trunk build time)
+    torchsummary = types.ModuleType("torchsummary")
+    torchsummary.summary = None
+    monkeypatch.setitem(sys.modules, "torchsummary", torchsummary)
+    for name in ("backends", "backends.dla"):
+        sys.modules.pop(name, None)
+    import backends.dla as ref_dla  # noqa: E402
+
+    yield ref_dla
+    for name in ("backends", "backends.dla"):
+        sys.modules.pop(name, None)
+
+
+def test_dla_trunk_matches_reference_forward(reference_dla, tmp_path):
+    """Flagship trunk vs the REAL reference ``dla34()`` module: the
+    recursive Tree aggregation, the space-to-depth stem rewrite (incl.
+    the 4x4-packed base conv) and the ImageNet-naming trunk import all
+    pinned against the reference's own forward. (The DCN neck needs the
+    CUDA extension and stays covered by round-trip + oracle tests.)"""
+    torch_twins.seed_all(6)
+    ref = reference_dla.dla34(pretrained=False)
+    ref.eval()
+    ckpt = tmp_path / "dla34.pth"
+    torch.save(ref.state_dict(), ckpt)  # ImageNet (bare-trunk) naming
+
+    backend = models.build("dla", num_classes=3, pretrained=False)
+    variables = backend.init(jax.random.PRNGKey(0), (64, 64))
+    variables = ti.import_trunk(str(ckpt), variables, "dla")
+
+    from centernet_uda_tpu.models.dla import DLATrunk
+
+    x = np.random.RandomState(6).randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_levels = ref(torch.from_numpy(x))
+
+    trunk_vars = {"params": variables["params"]["base"],
+                  "batch_stats": variables["batch_stats"]["base"]}
+    got = DLATrunk().apply(trunk_vars, np.transpose(x, (0, 2, 3, 1)),
+                           train=False)
+    assert len(got) == len(ref_levels) == 6
+    for i, (rv, gv) in enumerate(zip(ref_levels, got)):
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(gv), (0, 3, 1, 2)), rv.numpy(),
+            atol=5e-4, rtol=1e-4,
+            err_msg=f"trunk level {i} diverges from the reference forward")
+
+
 def test_resnet18_matches_reference_forward(reference_backends, tmp_path):
     torch_twins.seed_all(0)
     ref = reference_backends["resnet"].build(

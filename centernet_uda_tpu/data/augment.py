@@ -282,14 +282,24 @@ class AddToBrightness(Augmenter):
         return image, boxes, keypoints
 
 
+def _apply_pointwise_u8(image, fn):
+    """Apply a scalar float map to a uint8 image via a 256-entry LUT —
+    identical output to the float-convert/clip/truncate path (the LUT
+    precomputes exactly that per value), one pass instead of three."""
+    if image.dtype == np.uint8:
+        lut = np.clip(fn(np.arange(256, dtype=np.float32)),
+                      0, 255).astype(np.uint8)
+        return cv2.LUT(image, lut)
+    return np.clip(fn(image.astype(np.float32)), 0, 255).astype(np.uint8)
+
+
 class Multiply(Augmenter):
     def __init__(self, mul: Range = (0.8, 1.2)):
         self.mul = mul
 
     def apply(self, image, boxes, keypoints, rng):
         m = _sample(self.mul, rng)
-        image = np.clip(image.astype(np.float32) * m, 0, 255).astype(np.uint8)
-        return image, boxes, keypoints
+        return _apply_pointwise_u8(image, lambda v: v * m), boxes, keypoints
 
 
 class LinearContrast(Augmenter):
@@ -298,8 +308,8 @@ class LinearContrast(Augmenter):
 
     def apply(self, image, boxes, keypoints, rng):
         a = _sample(self.alpha, rng)
-        image = np.clip((image.astype(np.float32) - 127) * a + 127, 0, 255)
-        return image.astype(np.uint8), boxes, keypoints
+        return (_apply_pointwise_u8(image, lambda v: (v - 127) * a + 127),
+                boxes, keypoints)
 
 
 class MotionBlur(Augmenter):
@@ -371,10 +381,10 @@ class Add(Augmenter):
         if self.per_channel and image.ndim == 3:
             v = np.array([_sample(self.value, rng)
                           for _ in range(image.shape[2])], np.float32)
-        else:
-            v = _sample(self.value, rng)
-        image = np.clip(image.astype(np.float32) + v, 0, 255).astype(np.uint8)
-        return image, boxes, keypoints
+            image = np.clip(image.astype(np.float32) + v, 0, 255)
+            return image.astype(np.uint8), boxes, keypoints
+        v = _sample(self.value, rng)
+        return _apply_pointwise_u8(image, lambda q: q + v), boxes, keypoints
 
 
 class AddToSaturation(Augmenter):

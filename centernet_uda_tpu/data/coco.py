@@ -120,6 +120,12 @@ class Dataset:
         return (img - self.mean) / self.std
 
     def _load_image(self, path) -> np.ndarray:
+        # cv2 decodes JPEG ~2-3x faster than PIL (libjpeg-turbo + no
+        # Image object overhead); PIL stays as the fallback for anything
+        # cv2 can't read (e.g. exotic formats, truncated files)
+        img = cv2.imread(str(path), cv2.IMREAD_COLOR)
+        if img is not None:
+            return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         return np.array(Image.open(path).convert("RGB"))
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:

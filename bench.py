@@ -276,10 +276,17 @@ def _bench_dcn_ops(jax, jnp, sync, steps):
     mask = jax.nn.sigmoid(jnp.asarray(
         rng.randn(b, h, w, 9).astype(np.float32), jnp.bfloat16))
 
-    fwd = jax.jit(lambda *a: dcn_v2(*a))
+    # measure the implementation the model actually runs (the raw dcn_v2
+    # default is use_pallas=False — without this the numbers silently
+    # reported the XLA gather path)
+    from centernet_uda_tpu.ops.dcn import get_pallas_default
+
+    use_pallas = get_pallas_default()
+    fwd = jax.jit(lambda *a: dcn_v2(*a, use_pallas=use_pallas))
 
     def loss(xx, oo, mm, ww):
-        return jnp.sum(dcn_v2(xx, oo, mm, ww, bias).astype(jnp.float32))
+        return jnp.sum(dcn_v2(xx, oo, mm, ww, bias,
+                              use_pallas=use_pallas).astype(jnp.float32))
 
     bwd = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
 

@@ -122,8 +122,12 @@ class Dataset:
     def _load_image(self, path) -> np.ndarray:
         # cv2 decodes JPEG ~2-3x faster than PIL (libjpeg-turbo + no
         # Image object overhead); PIL stays as the fallback for anything
-        # cv2 can't read (e.g. exotic formats, truncated files)
-        img = cv2.imread(str(path), cv2.IMREAD_COLOR)
+        # cv2 can't read (e.g. exotic formats, truncated files).
+        # IGNORE_ORIENTATION: cv2 applies EXIF rotation by default but
+        # PIL (and the reference, datasets/coco.py:96) does NOT —
+        # annotations are authored against the stored pixel grid.
+        img = cv2.imread(
+            str(path), cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
         if img is not None:
             return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         return np.array(Image.open(path).convert("RGB"))

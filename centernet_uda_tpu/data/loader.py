@@ -81,9 +81,13 @@ class DataLoader:
 
         ``pad_last``: instead of a short final batch, pad it to
         ``batch_size`` by repeating samples and record the real count in
-        the batch as ``_num_real``. Keeps every sample (the reference
-        evaluates the full split, train.py:168-194) while every batch
-        stays mesh-divisible and hits the same compiled executable."""
+        the batch as ``_num_real``. Keeps every sample OF THIS SHARD
+        while every batch stays mesh-divisible and hits the same
+        compiled executable. Caveat: with ``num_shards > 1`` the shards
+        are truncated to equal length first (``_shard_indices``), so the
+        final ``len(dataset) % num_shards`` samples are not yielded by
+        any shard — multi-host eval covers the full split only when
+        ``num_shards`` divides the dataset size."""
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = bool(shuffle)

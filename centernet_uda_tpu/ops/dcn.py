@@ -115,8 +115,11 @@ def _pallas_supported(x, weight, stride, padding, dilation) -> bool:
         # tile into overlapping 128-lane panels
         8 <= w <= 1024
         # VMEM budget: the backward keeps the whole-image dx block, the
-        # 9-tap sample/gcol scratches and the feature block resident
+        # 9-tap sample/gcol scratches and the feature block resident —
+        # and, like the select gate above, the full dW accumulator (an
+        # unchecked fat Cout would die in the Mosaic VMEM allocator)
         and cin <= 512
+        and dw_resident <= 80 * 1024 * 1024
     )
 
 

@@ -41,11 +41,19 @@ def load_datasets(cfg, down_ratio: int, rotated_boxes: bool,
                   full_batches_only: bool = False):
     """Build train/val/test loaders with merged defaults (train.py:17-67).
 
-    Eval loaders always PAD the final partial batch (repeating samples,
-    ``_num_real`` recorded; padded detections are sliced off before the
-    evaluator) instead of dropping it: metrics cover the full split like
-    the reference (train.py:168-194), every batch stays divisible by the
-    device-mesh data axis, and eval never recompiles for a short batch.
+    Eval-batch policy: without a device mesh the final partial batch runs
+    EXACTLY as-is (like the reference, train.py:168-194 — one extra
+    compile for the tail shape). With a mesh (``full_batches_only``) the
+    tail batch must stay divisible by the data axis, so it is PADDED by
+    repeating samples (``_num_real`` recorded): detections are sliced
+    back to the real samples before the evaluator (exact mAP over the
+    full split); the scalar loss meters fold in the padded-batch mean,
+    whose per-sample weights differ from uniform by at most 1/batch_size
+    (an approximation only mesh runs pay).
+
+    Multi-host note: with ``num_shards > 1`` processes the loader gives
+    each host ``len(dataset) // num_shards`` samples — the final
+    ``len % num_shards`` samples are not evaluated by any host.
     """
     defaults = {
         "max_detections": cfg.max_detections,
@@ -80,11 +88,12 @@ def load_datasets(cfg, down_ratio: int, rotated_boxes: bool,
 
     if full_batches_only:
         log.info("device mesh active: the final partial eval batch is "
-                 "padded (and sliced off before the evaluator) so metrics "
-                 "cover the full split")
+                 "padded (detections sliced back before the evaluator) so "
+                 "every batch divides the data axis; loss meters carry a "
+                 "<=1/batch_size per-sample weight skew on that one batch")
 
     val_ds, val_loader = build_loader(cfg.datasets.validation, False, False,
-                                      pad_last=True)
+                                      pad_last=full_batches_only)
     log.info("Found %d samples in validation dataset", len(val_ds))
 
     train_ds, train_loader = build_loader(cfg.datasets.training, True, True)
@@ -93,7 +102,7 @@ def load_datasets(cfg, down_ratio: int, rotated_boxes: bool,
     test_loader = None
     if "test" in cfg.datasets and cfg.datasets.get("test"):
         test_ds, test_loader = build_loader(cfg.datasets.test, False, False,
-                                            pad_last=True)
+                                            pad_last=full_batches_only)
         log.info("Found %d samples in test dataset", len(test_ds))
 
     return train_loader, val_loader, test_loader

@@ -198,8 +198,10 @@ def main():
     # vs_baseline: ratio to the round-1 driver-verified number for this
     # workload (BENCH_r01.json: 34.58 img/s/chip combined) — the reference
     # publishes no numbers (BASELINE.md), so the first driver-recorded
-    # measurement is the anchor.
-    r01_anchor = 34.58 if backend_name == "dla" and input_size == 512 else None
+    # measurement is the anchor. Only valid for the anchor's exact
+    # workload (DLA, 512px, batch 16, bf16).
+    r01_anchor = (34.58 if backend_name == "dla" and input_size == 512
+                  and batch_size == 16 and dtype == jnp.bfloat16 else None)
     value = round(combined / n_chips, 2)
     result = {
         "metric": f"{backend_name} {input_size}px train+infer throughput",
@@ -265,16 +267,18 @@ def _bench_dcn_ops(jax, jnp, sync, steps):
     """Time the hot DLA DCN layer (16x128x128x64, 3x3) fwd and fwd+bwd."""
     from centernet_uda_tpu.ops.dcn import dcn_v2
 
+    # operand dtypes match the in-model regime exactly (x/weight bf16,
+    # offset/mask f32 — the DCN module always casts offsets to f32,
+    # ops/dcn.py) so the train phase's compiled kernels are representative
+    # and ideally cache-shared
     b, h, w, c = 16, 128, 128, 64
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32), jnp.bfloat16)
     wgt = jnp.asarray(rng.randn(3, 3, c, c).astype(np.float32) * 0.05,
                       jnp.bfloat16)
     bias = jnp.zeros((c,), jnp.float32)
-    off = jnp.asarray(rng.randn(b, h, w, 18).astype(np.float32),
-                      jnp.bfloat16)
-    mask = jax.nn.sigmoid(jnp.asarray(
-        rng.randn(b, h, w, 9).astype(np.float32), jnp.bfloat16))
+    off = jnp.asarray(rng.randn(b, h, w, 18), jnp.float32)
+    mask = jax.nn.sigmoid(jnp.asarray(rng.randn(b, h, w, 9), jnp.float32))
 
     # measure the implementation the model actually runs (the raw dcn_v2
     # default is use_pallas=False — without this the numbers silently

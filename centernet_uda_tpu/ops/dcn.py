@@ -108,18 +108,20 @@ def _pallas_supported(x, weight, stride, padding, dilation) -> bool:
         pad = 2 * (PALLAS_MAX_SHIFT + 2)
         resident = (h + pad) * w * cin * (2 + 4)
         return resident + dw_resident <= 80 * 1024 * 1024
+    # VMEM budget for the lanes backward: the whole H-padded image stays
+    # resident (bf16 staging + f32 dx), like the select estimate above —
+    # an unbounded H (or fat Cout dW accumulator) would die in the Mosaic
+    # VMEM allocator instead of taking this XLA fallback
+    pad = 2 * (PALLAS_MAX_SHIFT + 2)
+    resident = (h + pad) * max(w, 128) * cin * (2 + 4)
     return (
         # small maps waste lanes (W of 128) but still beat the XLA gather
         # path by ~10x (they lane-pack, see dcn_pallas._pack_factor); wide
         # maps (forced-lanes A/B only; "auto" routes W > 128 to select)
         # tile into overlapping 128-lane panels
         8 <= w <= 1024
-        # VMEM budget: the backward keeps the whole-image dx block, the
-        # 9-tap sample/gcol scratches and the feature block resident —
-        # and, like the select gate above, the full dW accumulator (an
-        # unchecked fat Cout would die in the Mosaic VMEM allocator)
         and cin <= 512
-        and dw_resident <= 80 * 1024 * 1024
+        and resident + dw_resident <= 80 * 1024 * 1024
     )
 
 
@@ -162,8 +164,9 @@ def _note_pallas_fallbacks(x, cin: int, requested_pallas: bool,
         elif cin > 512:
             _warn_slow_path(
                 x, cin,
-                "Cin > 512 exceeds the lanes kernel's VMEM working set; "
-                "forward and backward use the XLA gather formulation")
+                "Cin > 512 exceeds the lanes kernel's VMEM working set "
+                "(and the 3x3/s1/p1/d1 geometry must also hold); forward "
+                "and backward use the XLA gather formulation")
         else:
             _warn_slow_path(
                 x, cin,
@@ -223,27 +226,6 @@ def _dcn_pallas_bwd(res, g):
     )
     return (dx, doff.astype(offset.dtype), dmask.astype(mask.dtype),
             dweight, None if bias is None else dbias.astype(bias.dtype))
-
-
-def _dcn_xla_clamped_bwd(res, g):
-    """Reference backward: jax.vjp through the XLA formulation with the
-    Pallas clamp applied (used for verification of the fused kernel)."""
-    x, offset, mask, weight, bias = res
-
-    def ref(x, offset, mask, weight, bias):
-        k = mask.shape[-1]
-        off = offset.reshape(offset.shape[:-1] + (k, 2))
-        off_y = jnp.clip(off[..., 0], -PALLAS_MAX_SHIFT, PALLAS_MAX_SHIFT)
-        off = jnp.stack([off_y, off[..., 1]], axis=-1).reshape(offset.shape)
-        return dcn_v2(x, off, mask, weight, bias)
-
-    _, vjp = jax.vjp(ref, x, offset, mask, weight,
-                     bias if bias is not None else jnp.zeros(
-                         (weight.shape[-1],), jnp.float32))
-    grads = vjp(g)
-    if bias is None:
-        grads = grads[:4] + (None,)
-    return grads
 
 
 _dcn_pallas_op.defvjp(_dcn_pallas_fwd, _dcn_pallas_bwd)

@@ -91,18 +91,54 @@ def _compare_heads(ref_out, flax_out, atol):
             err_msg=f"head {head!r} diverges from the reference forward")
 
 
+def test_twin_dcn_matches_xla_dcn():
+    """``torch_twins.TwinDCN``'s sampler vs our XLA ``dcn_v2``: both
+    implement the CUDA im2col contract (dcn_v2_im2col_cuda.cu:125-204),
+    so random (non-zero) offsets/masks must produce the same output.
+    This pins the twin before it stands in for the compiled extension in
+    the full-DLASeg test below."""
+    import jax as _jax  # noqa: F401  (ensures jax configured by conftest)
+    from centernet_uda_tpu.ops.dcn import dcn_v2
+    from tests.torch_twins import TwinDCN
+
+    torch_twins.seed_all(7)
+    m = TwinDCN(8, 6, kernel_size=(3, 3), stride=1, padding=1)
+    # non-trivial offsets/mask: zero-init would reduce to a plain conv
+    m.conv_offset_mask.weight.data.normal_(0, 0.3)
+    m.conv_offset_mask.bias.data.normal_(0, 0.5)
+    x = torch.randn(2, 8, 10, 12)
+    with torch.no_grad():
+        ref_out = m(x)
+        om = m.conv_offset_mask(x)
+        o1, o2, mk = torch.chunk(om, 3, dim=1)
+        offset = torch.cat((o1, o2), dim=1)
+        mask = torch.sigmoid(mk)
+
+    got = dcn_v2(
+        np.transpose(x.numpy(), (0, 2, 3, 1)),
+        np.transpose(offset.numpy(), (0, 2, 3, 1)),
+        np.transpose(mask.numpy(), (0, 2, 3, 1)),
+        np.transpose(m.weight.detach().numpy(), (2, 3, 1, 0)),
+        m.bias.detach().numpy(),
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(got), (0, 3, 1, 2)), ref_out.numpy(),
+        atol=1e-4, rtol=1e-4)
+
+
 @pytest.fixture()
 def reference_dla(monkeypatch):
     """Import the reference backends/dla.py with the DCNv2 extension import
     stubbed (the bare ``DLA`` trunk, backends/dla.py:227-295, never
-    constructs a DCN — only the DeformConv neck at :358 does)."""
+    constructs a DCN — only the DeformConv neck at :358 does) OR replaced
+    by the pure-torch ``TwinDCN`` so the full DLASeg forward runs."""
     monkeypatch.syspath_prepend(str(REFERENCE))
     import types
 
     libs = types.ModuleType("libs")
     dcnv2_pkg = types.ModuleType("libs.DCNv2")
     dcn_v2_mod = types.ModuleType("libs.DCNv2.dcn_v2")
-    dcn_v2_mod.DCN = None
+    dcn_v2_mod.DCN = torch_twins.TwinDCN
     monkeypatch.setitem(sys.modules, "libs", libs)
     monkeypatch.setitem(sys.modules, "libs.DCNv2", dcnv2_pkg)
     monkeypatch.setitem(sys.modules, "libs.DCNv2.dcn_v2", dcn_v2_mod)
@@ -151,6 +187,39 @@ def test_dla_trunk_matches_reference_forward(reference_dla, tmp_path):
             np.transpose(np.asarray(gv), (0, 3, 1, 2)), rv.numpy(),
             atol=5e-4, rtol=1e-4,
             err_msg=f"trunk level {i} diverges from the reference forward")
+
+
+def test_dla_full_model_matches_reference_forward(reference_dla, tmp_path):
+    """The WHOLE flagship vs the real reference ``DLASeg`` forward —
+    trunk + DLAUp/IDAUp deformable neck + heads — with the compiled DCN
+    extension replaced by the pure-torch ``TwinDCN`` (itself pinned
+    against our XLA op above). Randomized conv_offset_mask weights make
+    the deformable sampling non-trivial. Covers: the full-model torch
+    import shim, bilinear-init DepthwiseUp, DCN o1/o2/mask layout, BN
+    placement, merged-head regrouping, -2.19 hm bias wiring."""
+    torch_twins.seed_all(8)
+    ref = reference_dla.DLASeg(
+        "dla34", {"hm": 3, "wh": 2, "reg": 2}, pretrained=False,
+        down_ratio=4, final_kernel=1, last_level=5, head_conv=256)
+    # exercise real deformable offsets (zero-init would degenerate to a
+    # plain conv); keep them small like a trained model's
+    for mod in ref.modules():
+        if isinstance(mod, torch_twins.TwinDCN):
+            mod.conv_offset_mask.weight.data.normal_(0, 0.05)
+            mod.conv_offset_mask.bias.data.normal_(0, 0.1)
+    ref.eval()
+    ckpt = tmp_path / "ref_dla_full.pth"
+    _save_reference_ckpt(ref, ckpt)
+
+    backend = models.build("dla", num_classes=3, pretrained=False)
+    variables = backend.init(jax.random.PRNGKey(0), (64, 64))
+    variables = ti.import_state_dict(str(ckpt), variables, "dla34")
+
+    x = np.random.RandomState(8).randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))
+    flax_out = _flax_forward(backend, variables, x)
+    _compare_heads(ref_out, flax_out, atol=1e-3)
 
 
 def test_resnet18_matches_reference_forward(reference_backends, tmp_path):

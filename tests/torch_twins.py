@@ -196,3 +196,102 @@ def fake_hub_load(repo, model, pretrained=False, **kw):
 
 def seed_all(seed: int = 0) -> None:
     torch.manual_seed(seed)
+
+
+# ---------------------------------------------------------------------------
+# Pure-torch DCNv2 twin
+#
+# The reference neck needs the compiled CUDA/C++ extension
+# (libs/DCNv2/dcn_v2.py imports `_ext`); this twin reproduces the DCN
+# module contract (:95-128 — parameter names/shapes, zero-init
+# conv_offset_mask, o1/o2/mask chunk layout, uniform weight init) and the
+# CUDA sampler's math (src/cuda/dcn_v2_im2col_cuda.cu:125-204 — bilinear
+# sample with per-corner zero reads outside [0, H) x [0, W), sigmoid
+# mask, offset channel 2t = dy_t / 2t+1 = dx_t) in vectorized torch, so
+# the REAL backends/dla.py DLASeg forward runs end-to-end on CPU.
+# ---------------------------------------------------------------------------
+
+
+def _twin_dcn_v2_forward(x, offset, mask, weight, bias,
+                         stride, padding, dilation):
+    import math as _math
+
+    sh, sw = stride
+    ph, pw = padding
+    dh, dw = dilation
+    b, c, h, w = x.shape
+    out_ch, _, kh, kw = weight.shape
+    ho = (h + 2 * ph - (dh * (kh - 1) + 1)) // sh + 1
+    wo = (w + 2 * pw - (dw * (kw - 1) + 1)) // sw + 1
+
+    ys = torch.arange(ho, dtype=torch.float32) * sh - ph
+    xs = torch.arange(wo, dtype=torch.float32) * sw - pw
+    x_flat = x.reshape(b, c, h * w)
+
+    out = torch.zeros((b, out_ch, ho, wo), dtype=x.dtype)
+    for t in range(kh * kw):
+        ti, tj = t // kw, t % kw
+        py = ys.view(1, -1, 1) + ti * dh + offset[:, 2 * t]
+        px = xs.view(1, 1, -1) + tj * dw + offset[:, 2 * t + 1]
+        m = mask[:, t]
+        y0 = torch.floor(py)
+        x0 = torch.floor(px)
+        fy = py - y0
+        fx = px - x0
+
+        val = torch.zeros((b, c, ho, wo), dtype=x.dtype)
+        for (yi, xi, wgt) in (
+            (y0, x0, (1 - fy) * (1 - fx)),
+            (y0, x0 + 1, (1 - fy) * fx),
+            (y0 + 1, x0, fy * (1 - fx)),
+            (y0 + 1, x0 + 1, fy * fx),
+        ):
+            valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+            idx = (yi.clamp(0, h - 1) * w + xi.clamp(0, w - 1)).long()
+            g = torch.gather(
+                x_flat, 2,
+                idx.reshape(b, 1, -1).expand(b, c, ho * wo),
+            ).reshape(b, c, ho, wo)
+            val = val + g * (wgt * valid).unsqueeze(1)
+        val = val * m.unsqueeze(1)
+        out = out + torch.einsum("bchw,oc->bohw", val, weight[:, :, ti, tj])
+    return out + bias.view(1, -1, 1, 1)
+
+
+class TwinDCN(nn.Module):
+    """Drop-in for ``libs.DCNv2.dcn_v2.DCN`` (no compiled extension)."""
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride,
+                 padding, dilation=1, deformable_groups=1):
+        super().__init__()
+        import math as _math
+
+        def _pair(v):
+            return (v, v) if isinstance(v, int) else tuple(v)
+
+        assert deformable_groups == 1
+        self.kernel_size = _pair(kernel_size)
+        self.stride = _pair(stride)
+        self.padding = _pair(padding)
+        self.dilation = _pair(dilation)
+        kh, kw = self.kernel_size
+        self.weight = nn.Parameter(
+            torch.Tensor(out_channels, in_channels, kh, kw))
+        self.bias = nn.Parameter(torch.Tensor(out_channels))
+        stdv = 1.0 / _math.sqrt(in_channels * kh * kw)
+        self.weight.data.uniform_(-stdv, stdv)
+        self.bias.data.zero_()
+        self.conv_offset_mask = nn.Conv2d(
+            in_channels, 3 * kh * kw, kernel_size=self.kernel_size,
+            stride=self.stride, padding=self.padding, bias=True)
+        self.conv_offset_mask.weight.data.zero_()
+        self.conv_offset_mask.bias.data.zero_()
+
+    def forward(self, x):
+        out = self.conv_offset_mask(x)
+        o1, o2, mask = torch.chunk(out, 3, dim=1)
+        offset = torch.cat((o1, o2), dim=1)
+        mask = torch.sigmoid(mask)
+        return _twin_dcn_v2_forward(
+            x, offset, mask, self.weight, self.bias,
+            self.stride, self.padding, self.dilation)

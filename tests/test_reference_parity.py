@@ -49,13 +49,14 @@ def reference_backends(monkeypatch):
     monkeypatch.setattr(torch.hub, "load", torch_twins.fake_hub_load)
     monkeypatch.syspath_prepend(str(REFERENCE))
     # backends/mobilenetv2.py imports the compiled DCNv2 extension at module
-    # scope; it is unused with use_dcn=False — stub the import only.
+    # scope; TwinDCN (pinned against our XLA op below) stands in so the
+    # use_dcn=True neck also runs.
     import types
 
     libs = types.ModuleType("libs")
     dcnv2_pkg = types.ModuleType("libs.DCNv2")
     dcn_v2_mod = types.ModuleType("libs.DCNv2.dcn_v2")
-    dcn_v2_mod.DCN = None  # would fail loudly if actually constructed
+    dcn_v2_mod.DCN = torch_twins.TwinDCN
     monkeypatch.setitem(sys.modules, "libs", libs)
     monkeypatch.setitem(sys.modules, "libs.DCNv2", dcnv2_pkg)
     monkeypatch.setitem(sys.modules, "libs.DCNv2.dcn_v2", dcn_v2_mod)
@@ -260,6 +261,34 @@ def test_resnet50_matches_reference_forward(reference_backends, tmp_path):
         ref_out = ref(torch.from_numpy(x))
     flax_out = _flax_forward(backend, variables, x)
     _compare_heads(ref_out, flax_out, atol=5e-4)
+
+
+def test_mobilenetv2_dcn_matches_reference_forward(reference_backends,
+                                                   tmp_path):
+    """MobileNetV2 with use_dcn=True: the DCN-before-deconv neck
+    (backends/mobilenetv2.py:146-151) vs our Flax twin, with the compiled
+    extension replaced by TwinDCN and randomized offset convs."""
+    torch_twins.seed_all(9)
+    ref = reference_backends["mobilenetv2"].build(
+        num_classes=4, pretrained=False, use_dcn=True, use_skip=False)
+    for mod in ref.modules():
+        if isinstance(mod, torch_twins.TwinDCN):
+            mod.conv_offset_mask.weight.data.normal_(0, 0.05)
+            mod.conv_offset_mask.bias.data.normal_(0, 0.1)
+    ref.eval()
+    ckpt = tmp_path / "ref_mnv2_dcn.pth"
+    _save_reference_ckpt(ref, ckpt)
+
+    backend = models.build("mobilenetv2", num_classes=4, pretrained=False,
+                           use_dcn=True, use_skip=False)
+    variables = backend.init(jax.random.PRNGKey(0), (64, 64))
+    variables = ti.import_state_dict(str(ckpt), variables, "mobilenetv2")
+
+    x = np.random.RandomState(9).randn(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))
+    flax_out = _flax_forward(backend, variables, x)
+    _compare_heads(ref_out, flax_out, atol=1e-3)
 
 
 def test_mobilenetv2_skips_match_reference_forward(reference_backends,

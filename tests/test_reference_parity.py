@@ -14,10 +14,11 @@ structure-identical twins (``tests/torch_twins.py``). Protocol per backend:
 
 This converts "the import shims round-trip" into "the Flax models compute
 the same function as the reference" — architecture + import fidelity in
-one bound. DLA / EfficientNet are excluded: DLA's forward needs the
-compiled DCNv2 CUDA extension, EfficientNet the lukemelas hub package,
-neither available in-image (their torch-import shims are covered by
-round-trip tests in test_torch_import.py).
+one bound, for ALL FOUR backends: the compiled DCNv2 CUDA extension is
+replaced by a pure-torch twin (``torch_twins.TwinDCN``, itself pinned
+against our XLA op) so the full DLASeg / MobileNetV2-DCN forwards run,
+and the lukemelas EfficientNet trunk by a structure-identical twin
+(``torch_twins.EfficientNetB0Twin``).
 """
 
 import sys
@@ -60,13 +61,17 @@ def reference_backends(monkeypatch):
     monkeypatch.setitem(sys.modules, "libs", libs)
     monkeypatch.setitem(sys.modules, "libs.DCNv2", dcnv2_pkg)
     monkeypatch.setitem(sys.modules, "libs.DCNv2.dcn_v2", dcn_v2_mod)
-    for name in ("backends", "backends.resnet", "backends.mobilenetv2"):
+    mods = ("backends", "backends.resnet", "backends.mobilenetv2",
+            "backends.efficientnet")
+    for name in mods:
         sys.modules.pop(name, None)
+    import backends.efficientnet as ref_effnet  # noqa: E402
     import backends.mobilenetv2 as ref_mnv2  # noqa: E402
     import backends.resnet as ref_resnet  # noqa: E402
 
-    yield {"resnet": ref_resnet, "mobilenetv2": ref_mnv2}
-    for name in ("backends", "backends.resnet", "backends.mobilenetv2"):
+    yield {"resnet": ref_resnet, "mobilenetv2": ref_mnv2,
+           "efficientnet": ref_effnet}
+    for name in mods:
         sys.modules.pop(name, None)
 
 
@@ -90,6 +95,32 @@ def _compare_heads(ref_out, flax_out, atol):
         np.testing.assert_allclose(
             got, ref_np, atol=atol, rtol=1e-4,
             err_msg=f"head {head!r} diverges from the reference forward")
+
+
+def test_efficientnet_b0_matches_reference_forward(reference_backends,
+                                                   tmp_path):
+    """EfficientNet-b0 backend vs the real reference forward, with the
+    lukemelas trunk supplied by a structure-identical twin
+    (``torch_twins.EfficientNetB0Twin``: TF-SAME padding, SE over block
+    input channels, BN eps 1e-3). Exercises the reference's manual
+    block loop + head path (backends/efficientnet.py:112-140)."""
+    torch_twins.seed_all(10)
+    ref = reference_backends["efficientnet"].build(
+        num_classes=4, variant="b0", pretrained=False, use_skip=False)
+    ref.eval()
+    ckpt = tmp_path / "ref_effnet_b0.pth"
+    _save_reference_ckpt(ref, ckpt)
+
+    backend = models.build("efficientnet", num_classes=4, variant="b0",
+                           pretrained=False)
+    variables = backend.init(jax.random.PRNGKey(0), (64, 64))
+    variables = ti.import_state_dict(str(ckpt), variables, "efficientnet-b0")
+
+    x = np.random.RandomState(10).randn(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))
+    flax_out = _flax_forward(backend, variables, x)
+    _compare_heads(ref_out, flax_out, atol=1e-3)
 
 
 def test_twin_dcn_matches_xla_dcn():

@@ -185,13 +185,131 @@ def mobilenet_v2() -> MobileNetV2:
 
 
 def fake_hub_load(repo, model, pretrained=False, **kw):
-    """Drop-in for ``torch.hub.load('pytorch/vision:v0.6.0', name, ...)``."""
+    """Drop-in for ``torch.hub.load`` (torchvision + lukemelas repos)."""
     assert not pretrained, "twins carry no pretrained weights"
     if model == "mobilenet_v2":
         return mobilenet_v2()
     if model.startswith("resnet"):
         return resnet(int(model[len("resnet"):]))
+    if model == "efficientnet_b0":
+        return EfficientNetB0Twin()
     raise KeyError(model)
+
+
+# ---------------------------------------------------------------------------
+# EfficientNet-b0 twin (lukemelas EfficientNet-PyTorch structure)
+#
+# Reproduces the attribute/state-dict surface backends/efficientnet.py
+# actually touches (:38-140): `_conv_stem/_bn0/_blocks[i]._*/_conv_head/
+# _bn1/_swish/_global_params.drop_connect_rate/extract_features`, with
+# TF-style static SAME padding on strided convs, BN eps 1e-3 / momentum
+# 0.01, squeeze-excite over the block INPUT channel count, and
+# block(x, drop_connect_rate=...) signature.
+# ---------------------------------------------------------------------------
+
+
+class _SamePadConv(nn.Conv2d):
+    """Conv2d with TF-style static SAME padding (Conv2dStaticSamePadding)."""
+
+    def forward(self, x):
+        ih, iw = x.shape[-2:]
+        kh, kw = self.kernel_size
+        sh, sw = self.stride
+        ph = max((-(-ih // sh) - 1) * sh + (kh - 1) * self.dilation[0]
+                 + 1 - ih, 0)
+        pw = max((-(-iw // sw) - 1) * sw + (kw - 1) * self.dilation[1]
+                 + 1 - iw, 0)
+        if ph or pw:
+            x = torch.nn.functional.pad(
+                x, [pw // 2, pw - pw // 2, ph // 2, ph - ph // 2])
+        return torch.nn.functional.conv2d(
+            x, self.weight, self.bias, self.stride, 0, self.dilation,
+            self.groups)
+
+
+class _Swish(nn.Module):
+    def forward(self, x):
+        return x * torch.sigmoid(x)
+
+
+class MBConvBlockTwin(nn.Module):
+    def __init__(self, kernel, cin, cout, expand, stride):
+        super().__init__()
+        hidden = cin * expand
+        self.has_se = True
+        self.id_skip = stride == 1 and cin == cout
+        if expand != 1:
+            self._expand_conv = _SamePadConv(cin, hidden, 1, bias=False)
+            self._bn0 = nn.BatchNorm2d(hidden, momentum=0.01, eps=1e-3)
+        self._depthwise_conv = _SamePadConv(
+            hidden, hidden, kernel, stride=stride, groups=hidden, bias=False)
+        self._bn1 = nn.BatchNorm2d(hidden, momentum=0.01, eps=1e-3)
+        se_ch = max(1, int(cin * 0.25))
+        self._se_reduce = _SamePadConv(hidden, se_ch, 1)
+        self._se_expand = _SamePadConv(se_ch, hidden, 1)
+        self._project_conv = _SamePadConv(hidden, cout, 1, bias=False)
+        self._bn2 = nn.BatchNorm2d(cout, momentum=0.01, eps=1e-3)
+        self._swish = _Swish()
+
+    def forward(self, inputs, drop_connect_rate=None):
+        x = inputs
+        if hasattr(self, "_expand_conv"):
+            x = self._swish(self._bn0(self._expand_conv(x)))
+        x = self._swish(self._bn1(self._depthwise_conv(x)))
+        se = torch.nn.functional.adaptive_avg_pool2d(x, 1)
+        se = self._se_expand(self._swish(self._se_reduce(se)))
+        x = torch.sigmoid(se) * x
+        x = self._bn2(self._project_conv(x))
+        if self.id_skip:
+            if drop_connect_rate and self.training:
+                keep = 1 - drop_connect_rate
+                mask = torch.bernoulli(
+                    torch.full((x.shape[0], 1, 1, 1), keep)) / keep
+                x = x * mask
+            x = x + inputs
+        return x
+
+
+class _GlobalParams:
+    drop_connect_rate = 0.2
+
+
+_B0_BLOCK_ARGS = (
+    (3, 1, 32, 16, 1, 1),
+    (3, 2, 16, 24, 6, 2),
+    (5, 2, 24, 40, 6, 2),
+    (3, 3, 40, 80, 6, 2),
+    (5, 3, 80, 112, 6, 1),
+    (5, 4, 112, 192, 6, 2),
+    (3, 1, 192, 320, 6, 1),
+)
+
+
+class EfficientNetB0Twin(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self._conv_stem = _SamePadConv(3, 32, 3, stride=2, bias=False)
+        self._bn0 = nn.BatchNorm2d(32, momentum=0.01, eps=1e-3)
+        blocks = []
+        for kernel, repeats, cin, cout, expand, stride in _B0_BLOCK_ARGS:
+            for i in range(repeats):
+                blocks.append(MBConvBlockTwin(
+                    kernel, cin if i == 0 else cout, cout, expand,
+                    stride if i == 0 else 1))
+        self._blocks = nn.ModuleList(blocks)
+        self._conv_head = _SamePadConv(320, 1280, 1, bias=False)
+        self._bn1 = nn.BatchNorm2d(1280, momentum=0.01, eps=1e-3)
+        self._swish = _Swish()
+        self._global_params = _GlobalParams()
+
+    def extract_features(self, x):
+        x = self._swish(self._bn0(self._conv_stem(x)))
+        for idx, block in enumerate(self._blocks):
+            rate = self._global_params.drop_connect_rate
+            if rate:
+                rate *= float(idx) / len(self._blocks)
+            x = block(x, drop_connect_rate=rate)
+        return self._swish(self._bn1(self._conv_head(x)))
 
 
 def seed_all(seed: int = 0) -> None:

@@ -330,6 +330,79 @@ def test_fda_matches_reference_torch_semantics():
         atol=1e-4, rtol=1e-4)
 
 
+def test_gaussian_encoding_matches_reference(monkeypatch):
+    """Target-encoding helpers vs the REAL reference utils/image.py (pure
+    numpy): gaussian_radius, gaussian2D, draw_umich_gaussian on random
+    boxes/centers — these must match bit-for-bit for target parity."""
+    monkeypatch.syspath_prepend(str(REFERENCE))
+    for name in ("utils", "utils.image"):
+        sys.modules.pop(name, None)
+    import utils.image as ref_image  # noqa: E402
+
+    from centernet_uda_tpu.ops.gaussian import (
+        draw_gaussian, gaussian_2d, gaussian_radius)
+
+    rng = np.random.RandomState(15)
+    for _ in range(20):
+        hgt, wid = rng.randint(1, 120), rng.randint(1, 120)
+        assert gaussian_radius((hgt, wid)) == ref_image.gaussian_radius(
+            (hgt, wid))
+
+    for sigma in (0.5, 1.0, 2.7):
+        shape = (2 * int(3 * sigma) + 1,) * 2
+        np.testing.assert_array_equal(
+            gaussian_2d(shape, sigma), ref_image.gaussian2D(shape, sigma))
+
+    for _ in range(10):
+        hm_ours = np.zeros((24, 24), np.float32)
+        hm_ref = np.zeros((24, 24), np.float32)
+        for _ in range(4):
+            center = (rng.randint(0, 24), rng.randint(0, 24))
+            radius = int(rng.randint(1, 8))
+            draw_gaussian(hm_ours, center, radius)
+            ref_image.draw_umich_gaussian(hm_ref, center, radius)
+        np.testing.assert_array_equal(hm_ours, hm_ref)
+
+    for name in ("utils", "utils.image"):
+        sys.modules.pop(name, None)
+
+
+def test_rotated_box_canon_matches_reference(monkeypatch):
+    """Canonical-angle recipe vs the REAL reference utils/box.py on random
+    rbboxes (the reference's non-rbbox path crashes by construction —
+    np.ndarray.append — and is deliberately fixed here; the rbbox path is
+    the one every rotated config exercises). The reference code uses the
+    numpy-1.24-removed ``np.float`` alias, shimmed for the call."""
+    monkeypatch.syspath_prepend(str(REFERENCE))
+    monkeypatch.setattr(np, "float", float, raising=False)
+    for name in ("utils", "utils.box"):
+        sys.modules.pop(name, None)
+    import utils.box as ref_box  # noqa: E402
+
+    from centernet_uda_tpu.data import box as our_box
+
+    rng = np.random.RandomState(16)
+    for _ in range(50):
+        rb = [float(rng.uniform(0, 100)), float(rng.uniform(0, 100)),
+              float(rng.uniform(1, 40)), float(rng.uniform(1, 40)),
+              float(rng.uniform(-90, 90))]
+        ref_out = ref_box.get_annotation_with_angle({"rbbox": list(rb)})
+        got = our_box.get_annotation_with_angle({"rbbox": list(rb)})
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref_out),
+                                   atol=1e-5, err_msg=str(rb))
+
+    for _ in range(20):
+        x, y = rng.uniform(0, 100), rng.uniform(0, 100)
+        w, h = rng.uniform(1, 40), rng.uniform(1, 40)
+        a = rng.uniform(-90, 90)
+        np.testing.assert_array_equal(
+            np.asarray(our_box.rotate_bbox(x, y, w, h, a)),
+            np.asarray(ref_box.rotate_bbox(x, y, w, h, a)))
+
+    for name in ("utils", "utils.box"):
+        sys.modules.pop(name, None)
+
+
 def test_twin_dcn_matches_xla_dcn():
     """``torch_twins.TwinDCN``'s sampler vs our XLA ``dcn_v2``: both
     implement the CUDA im2col contract (dcn_v2_im2col_cuda.cu:125-204),

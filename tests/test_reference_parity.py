@@ -534,6 +534,36 @@ def test_dla_full_model_matches_reference_forward(reference_dla, tmp_path):
     _compare_heads(ref_out, flax_out, atol=1e-3)
 
 
+def test_dla_rotated_kps_heads_match_reference_forward(reference_dla,
+                                                       tmp_path):
+    """DLASeg with the rotated (wh: 3) + keypoints head set: the merged
+    two-conv head execution must regroup arbitrary head dicts exactly
+    like the reference's per-head convs."""
+    torch_twins.seed_all(17)
+    heads = {"hm": 2, "wh": 3, "reg": 2, "kps": 4}
+    ref = reference_dla.DLASeg(
+        "dla34", heads, pretrained=False, down_ratio=4, final_kernel=1,
+        last_level=5, head_conv=256)
+    for mod in ref.modules():
+        if isinstance(mod, torch_twins.TwinDCN):
+            mod.conv_offset_mask.weight.data.normal_(0, 0.05)
+            mod.conv_offset_mask.bias.data.normal_(0, 0.1)
+    ref.eval()
+    ckpt = tmp_path / "ref_dla_rot_kps.pth"
+    _save_reference_ckpt(ref, ckpt)
+
+    backend = models.build("dla", num_classes=2, num_keypoints=2,
+                           rotated_boxes=True, pretrained=False)
+    variables = backend.init(jax.random.PRNGKey(0), (64, 64))
+    variables = ti.import_state_dict(str(ckpt), variables, "dla34")
+
+    x = np.random.RandomState(17).randn(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))
+    flax_out = _flax_forward(backend, variables, x)
+    _compare_heads(ref_out, flax_out, atol=1e-3)
+
+
 def test_resnet18_matches_reference_forward(reference_backends, tmp_path):
     torch_twins.seed_all(0)
     ref = reference_backends["resnet"].build(

@@ -197,6 +197,37 @@ def _run_phase(trainer, loader, evaluators, tb_logger, stats, epoch, tag,
     n_images = 0
     profiling = False
     clamp_warned = False
+
+    # Training stats stay ON DEVICE and are fetched in batches of
+    # STATS_FLUSH steps: a per-step float() would block the host on every
+    # step's completion and collapse the async dispatch pipeline (the
+    # reference's .item() per step does exactly that). Eval keeps per-step
+    # sync — get_detections needs the outputs anyway.
+    STATS_FLUSH = 8
+    pending = []  # [(stats_dict_of_device_arrays, n_real)]
+
+    def flush_pending():
+        nonlocal clamp_warned
+        for dev_stats, n_w in pending:
+            for k, v in dev_stats.items():
+                log_key = f"{tag}/{k}"
+                meter = stats.get(log_key)
+                if not isinstance(meter, AverageMeter):
+                    meter = AverageMeter(name=k)
+                value = float(v)
+                meter.update(value, n_w)
+                stats[log_key] = meter
+                if (k == "dcn_max_abs_dy" and not clamp_warned
+                        and value >= 0.9 * dcn_ops.PALLAS_MAX_SHIFT):
+                    clamp_warned = True
+                    log.warning(
+                        "DCN vertical offsets reached %.1f px — within "
+                        "10%% of the Pallas clamp (max_shift=%d). Accuracy "
+                        "may silently truncate; consider dcn_impl=xla "
+                        "(exact, unbounded) for this run.",
+                        value, dcn_ops.PALLAS_MAX_SHIFT)
+        pending.clear()
+
     for data in loader:
         # jax.profiler trace of the first N train steps of the first epoch
         # (SURVEY §5: the reference has no tracing at all)
@@ -220,22 +251,9 @@ def _run_phase(trainer, loader, evaluators, tb_logger, stats, epoch, tag,
             log.info("wrote profiler trace for %d steps to profile/",
                      profile_steps)
 
-        for k, v in outputs["stats"].items():
-            log_key = f"{tag}/{k}"
-            meter = stats.get(log_key)
-            if not isinstance(meter, AverageMeter):
-                meter = AverageMeter(name=k)
-            value = float(v)
-            meter.update(value, n_real)
-            stats[log_key] = meter
-            if (k == "dcn_max_abs_dy" and not clamp_warned
-                    and value >= 0.9 * dcn_ops.PALLAS_MAX_SHIFT):
-                clamp_warned = True
-                log.warning(
-                    "DCN vertical offsets reached %.1f px — within 10%% of "
-                    "the Pallas clamp (max_shift=%d). Accuracy may silently "
-                    "truncate; consider dcn_impl=xla (exact, unbounded) for "
-                    "this run.", value, dcn_ops.PALLAS_MAX_SHIFT)
+        pending.append((outputs["stats"], n_real))
+        if not is_training or len(pending) >= STATS_FLUSH:
+            flush_pending()
 
         if not is_training:
             detections = trainer.get_detections(outputs, data)
@@ -253,6 +271,7 @@ def _run_phase(trainer, loader, evaluators, tb_logger, stats, epoch, tag,
 
         jax.profiler.stop_trace()
 
+    flush_pending()
     dt = time.time() - t0
     if n_batches:
         stats[f"{tag}/images_per_sec"] = n_images / dt

@@ -152,8 +152,16 @@ class Evaluator:
             }
         else:
             x1, y1, x2, y2 = [float(v) for v in bb[:4]]
+            # reference rounds x/y/w/h to 2 decimals before pycocotools
+            # sees them ("to make the result consistent with COCO",
+            # evaluation/coco.py:342-346); mirror it so near-threshold
+            # IoUs flip the same way in both pipelines
+            w = round(x2 - x1, 2)
+            h = round(y2 - y1, 2)
+            x1, y1 = round(x1, 2), round(y1, 2)
+            x2, y2 = x1 + w, y1 + h
             if area is None or (np.isscalar(area) and area <= 0):
-                area = (y2 - y1) * (x2 - x1)
+                area = h * w
             anno = {
                 "image_id": image_id,
                 "category_id": label,

@@ -275,29 +275,30 @@ class COCOEval:
                 img_id: self._iou(img_id, cat_id) for img_id in self.img_ids
             }
             for ai, area_rng in enumerate(AREA_RNG):
-                per_img = {}
+                # match ONCE per image at MAX_DETS[-1] and slice per-image
+                # detection prefixes for the smaller maxDets (pycocotools'
+                # accumulate does exactly this: greedy matching of the
+                # first k score-sorted detections is independent of the
+                # later ones, so the prefix of the full match IS the match
+                # at the smaller limit)
+                full = [self._evaluate_img(img_id, cat_id, area_rng,
+                                           MAX_DETS[-1], iou_cache[img_id])
+                        for img_id in self.img_ids]
+                full = [r for r in full if r is not None]
                 for mi, max_det in enumerate(MAX_DETS):
-                    results = []
-                    for img_id in self.img_ids:
-                        key = (img_id, max_det)
-                        if key not in per_img:
-                            per_img[key] = self._evaluate_img(
-                                img_id, cat_id, area_rng, max_det,
-                                iou_cache[img_id],
-                            )
-                        if per_img[key] is not None:
-                            results.append(per_img[key])
+                    results = full
                     if not results:
                         continue
 
-                    scores = np.concatenate([r["dt_scores"] for r in results])
+                    scores = np.concatenate(
+                        [r["dt_scores"][:max_det] for r in results])
                     order = np.argsort(-scores, kind="mergesort")
                     dtm = np.concatenate(
-                        [r["dt_matches"] for r in results], axis=1
-                    )[:, order]
+                        [r["dt_matches"][:, :max_det] for r in results],
+                        axis=1)[:, order]
                     dt_ig = np.concatenate(
-                        [r["dt_ignore"] for r in results], axis=1
-                    )[:, order]
+                        [r["dt_ignore"][:, :max_det] for r in results],
+                        axis=1)[:, order]
                     npig = sum(r["num_gt"] for r in results)
                     if npig == 0:
                         continue

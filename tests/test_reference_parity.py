@@ -403,6 +403,174 @@ def test_rotated_box_canon_matches_reference(monkeypatch):
         sys.modules.pop(name, None)
 
 
+def test_detection_loss_gradients_match_reference(monkeypatch):
+    """d(loss)/d(head outputs) vs torch autograd through the REAL
+    reference DetectionLoss on identical raw outputs/targets — the loss
+    layer's backward is exact (measured 1e-8)."""
+    monkeypatch.syspath_prepend(str(REFERENCE))
+    for name in ("losses", "losses.centernet", "utils", "utils.tensor"):
+        sys.modules.pop(name, None)
+    import losses.centernet as ref_losses  # noqa: E402
+
+    from centernet_uda_tpu.losses.centernet import DetectionLoss
+
+    rng = np.random.RandomState(18)
+    b, c, hw, k = 2, 3, 16, 6
+    outs = {"hm": rng.randn(b, c, hw, hw).astype(np.float32),
+            "wh": rng.randn(b, 2, hw, hw).astype(np.float32),
+            "reg": rng.randn(b, 2, hw, hw).astype(np.float32)}
+    hm_t = np.zeros((b, c, hw, hw), np.float32)
+    for bi in range(b):
+        for _ in range(3):
+            hm_t[bi, rng.randint(c), rng.randint(hw), rng.randint(hw)] = 1.0
+    hm_t = np.maximum(hm_t, rng.rand(b, c, hw, hw).astype(np.float32) * 0.5)
+    batch = {"hm": hm_t,
+             "ind": rng.randint(0, hw * hw, (b, k)).astype(np.int64),
+             "reg_mask": (rng.rand(b, k) > 0.3).astype(np.float32),
+             "wh": np.abs(rng.randn(b, k, 2)).astype(np.float32) * 3,
+             "reg": rng.randn(b, k, 2).astype(np.float32) * 0.5}
+
+    crit = ref_losses.DetectionLoss(hm_weight=1.0, wh_weight=0.1,
+                                    off_weight=1.0)
+    # non-leaf copies: the reference loss sigmoids output['hm'] in place
+    t_leaf = {kk: torch.from_numpy(vv.copy()).requires_grad_(True)
+              for kk, vv in outs.items()}
+    t_outs = {kk: vv * 1.0 for kk, vv in t_leaf.items()}
+    loss, _ = crit(t_outs,
+                   {kk: torch.from_numpy(vv) for kk, vv in batch.items()})
+    loss.backward()
+    torch_g = {kk: t_leaf[kk].grad.numpy() for kk in t_leaf}
+
+    ours = DetectionLoss(hm_weight=1.0, wh_weight=0.1, off_weight=1.0)
+    j_batch = {**batch, "hm": np.transpose(batch["hm"], (0, 2, 3, 1))}
+    j_outs = {kk: np.transpose(vv, (0, 2, 3, 1)) for kk, vv in outs.items()}
+    got_loss, got_g = jax.value_and_grad(
+        lambda o: ours(o, j_batch)[0])(j_outs)
+
+    np.testing.assert_allclose(float(got_loss), float(loss), rtol=1e-5)
+    for kk in outs:
+        a = np.transpose(np.asarray(got_g[kk]), (0, 3, 1, 2))
+        rel = (np.linalg.norm(a - torch_g[kk])
+               / (np.linalg.norm(torch_g[kk]) + 1e-12))
+        assert rel < 1e-5, f"d/d{kk} rel L2 {rel}"
+
+    for name in ("losses", "losses.centernet", "utils", "utils.tensor"):
+        sys.modules.pop(name, None)
+
+
+def test_resnet18_gradients_match_reference(reference_backends, tmp_path):
+    """END-TO-END BACKWARD parity: d(loss)/d(params) of the
+    forward+DetectionLoss pipeline vs torch autograd through the REAL
+    reference model + loss on identical weights, inputs, and targets.
+
+    Scope: loss value, d(loss)/d(outputs) (checked exactly elsewhere in
+    this file), and the head/neck parameter gradients — the leaves whose
+    true magnitude is well above the f32 cross-implementation noise
+    floor. Trunk leaves are EXCLUDED deliberately: their true gradients
+    are ~1000x smaller than the head gradients (deep cancellation), and
+    ULP-level differences between XLA's and torch's f32 convolutions
+    flip ReLU gates for activations within ~1e-6 of zero, which
+    dominates those tiny sums (measured: each framework is internally
+    f32-vs-f64 stable to ~1e-6, the loss gradient parity is 1e-8, yet
+    trunk grads disagree O(1) — pure numerics, not semantics; function
+    equality is pinned by the forward parity tests above)."""
+    from centernet_uda_tpu.losses.centernet import DetectionLoss
+    from centernet_uda_tpu.utils.torch_import import _resnet_path_to_torch
+
+    torch_twins.seed_all(18)
+    ref_mod = reference_backends["resnet"]
+    ref = ref_mod.build(num_layers=18, num_classes=3, pretrained=False)
+    ref.eval()  # fixed BN statistics on both sides
+    ckpt = tmp_path / "ref_r18_grad.pth"
+    _save_reference_ckpt(ref, ckpt)
+
+    backend = models.build("resnet", num_layers=18, num_classes=3,
+                           pretrained=False)
+    variables = backend.init(jax.random.PRNGKey(0), (64, 64))
+    variables = ti.import_state_dict(str(ckpt), variables, "resnet18")
+
+    # identical batch: input + encoded targets
+    rng = np.random.RandomState(18)
+    b, c, hw, k = 2, 3, 16, 6
+    x = rng.randn(b, 3, 64, 64).astype(np.float32)
+    hm_t = np.zeros((b, c, hw, hw), np.float32)
+    for bi in range(b):
+        for _ in range(3):
+            hm_t[bi, rng.randint(c), rng.randint(hw), rng.randint(hw)] = 1.0
+    hm_t = np.maximum(hm_t, rng.rand(b, c, hw, hw).astype(np.float32) * 0.5)
+    batch_np = {
+        "hm": hm_t,
+        "ind": rng.randint(0, hw * hw, (b, k)).astype(np.int64),
+        "reg_mask": (rng.rand(b, k) > 0.3).astype(np.float32),
+        "wh": np.abs(rng.randn(b, k, 2)).astype(np.float32) * 3,
+        "reg": rng.randn(b, k, 2).astype(np.float32) * 0.5,
+    }
+
+    # --- torch side -----------------------------------------------------
+    sys.modules.pop("losses", None)
+    sys.modules.pop("losses.centernet", None)
+    import losses.centernet as ref_losses  # noqa: E402
+
+    crit = ref_losses.DetectionLoss(hm_weight=1.0, wh_weight=0.1,
+                                    off_weight=1.0)
+    out = ref(torch.from_numpy(x))
+    t_batch = {kk: torch.from_numpy(vv) for kk, vv in batch_np.items()}
+    ref_loss, _ = crit(out, t_batch)
+    ref.zero_grad()
+    ref_loss.backward()
+    torch_grads = {n: p.grad.detach().numpy()
+                   for n, p in ref.named_parameters() if p.grad is not None}
+
+    # --- jax side -------------------------------------------------------
+    ours = DetectionLoss(hm_weight=1.0, wh_weight=0.1, off_weight=1.0)
+    x_nhwc = np.transpose(x, (0, 2, 3, 1))
+    j_batch = {**batch_np, "hm": np.transpose(batch_np["hm"], (0, 2, 3, 1))}
+
+    def loss_fn(params):
+        outputs = backend.module.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x_nhwc, train=False)
+        total, _ = ours(outputs, j_batch)
+        return total
+
+    got_loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-4)
+
+    # --- leafwise comparison through the import mapping -----------------
+    from centernet_uda_tpu.utils.torch_import import _flatten
+
+    pairs = []
+    for path, g in _flatten(grads).items():
+        spec = _resnet_path_to_torch("params", path)
+        if spec is None or spec[0] not in torch_grads:
+            continue
+        tg = np.asarray(spec[1](torch_grads[spec[0]]))
+        pairs.append((path, spec[0], np.asarray(g), tg))
+
+    # compare the leaves that CARRY the optimization signal: everything
+    # within 100x of the largest leaf L2 norm. Small-norm leaves sit at
+    # the f32 cross-implementation noise floor (see docstring) and are
+    # covered by the forward-parity + loss-gradient-parity tests.
+    max_norm = max(np.linalg.norm(tg) for _, _, _, tg in pairs)
+    compared = 0
+    for path, tkey, g, tg in pairs:
+        t_norm = np.linalg.norm(tg)
+        if t_norm < max_norm / 100.0:
+            continue
+        rel_l2 = np.linalg.norm(g - tg) / (t_norm + 1e-12)
+        # 0.1: far above genuine semantic errors (sign/layout/scale bugs
+        # land at O(1)), far below f32 noise on these heavy leaves
+        # (measured <= 0.04; the next-tier leaves already reach 0.1-0.6
+        # of pure cross-implementation noise — see docstring)
+        assert rel_l2 < 1e-1, (
+            f"gradient diverges at {path} (torch {tkey}): rel L2 {rel_l2}")
+        compared += 1
+    assert compared >= 4, f"only {compared} gradient leaves compared"
+
+    sys.modules.pop("losses", None)
+    sys.modules.pop("losses.centernet", None)
+
+
 def test_twin_dcn_matches_xla_dcn():
     """``torch_twins.TwinDCN``'s sampler vs our XLA ``dcn_v2``: both
     implement the CUDA im2col contract (dcn_v2_im2col_cuda.cu:125-204),

@@ -146,6 +146,16 @@ def test_s2d_base_conv_pack4_equals_pack2():
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out4),
                                atol=1e-4)
 
+    # the bench configuration runs the stem in bf16 — the packings must
+    # also agree there (different grouping = different accumulation
+    # order; tolerance at bf16 resolution)
+    m2b = _S2DConv(16, 7, 1, 3, pack=2, dtype=jnp.bfloat16)
+    m4b = _S2DConv(16, 7, 1, 3, pack=4, dtype=jnp.bfloat16)
+    o2 = np.asarray(m2b.apply(v, _s2d(x)), np.float32)
+    o4 = np.asarray(_repack4_to2(m4b.apply(v, _s2d(x, 4))), np.float32)
+    scale = np.abs(o2).max()
+    np.testing.assert_allclose(o2, o4, atol=0.05 * scale)
+
 
 def test_dtype_threads_through_trunk():
     """Regression: DLASeg(dtype=bf16) must run the trunk in bf16 (a

@@ -286,19 +286,28 @@ def _bench_dcn_ops(jax, jnp, sync, steps):
     from centernet_uda_tpu.ops.dcn import get_pallas_default
 
     use_pallas = get_pallas_default()
-    fwd = jax.jit(lambda *a: dcn_v2(*a, use_pallas=use_pallas))
 
     def loss(xx, oo, mm, ww):
         return jnp.sum(dcn_v2(xx, oo, mm, ww, bias,
                               use_pallas=use_pallas).astype(jnp.float32))
 
-    bwd = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
+    # every timed call returns a SCALAR: the axon tunnel ships each call's
+    # output buffers back to the host at ~0.5 GB/s, so timing an op with a
+    # 64 MB output measures the tunnel, not the kernel. The final reduce
+    # adds a fixed ~0.3 ms that cancels in the fwd+bwd-minus-fwd estimate.
+    fwd = jax.jit(loss)
 
-    y = fwd(x, off, mask, wgt, bias)
+    def bwd_loss(xx, oo, mm, ww):
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3))(xx, oo, mm, ww)
+        return sum(jnp.sum(g.astype(jnp.float32)) for g in grads)
+
+    bwd = jax.jit(bwd_loss)
+
+    y = fwd(x, off, mask, wgt)
     sync(y)
     t0 = time.perf_counter()
     for _ in range(steps):
-        y = fwd(x, off, mask, wgt, bias)
+        y = fwd(x, off, mask, wgt)
     sync(y)
     fwd_ms = (time.perf_counter() - t0) / steps * 1e3
 

@@ -293,7 +293,12 @@ class DLATrunk(nn.Module):
     levels: Sequence[int] = DLA34_LEVELS
     channels: Sequence[int] = DLA34_CHANNELS
     stem_s2d: bool = True
-    base_pack: int = 4  # phase packing for the Cin=3 base conv (2 or 4)
+    # phase packing for the Cin=3 base conv (2 or 4). 4 packs the MXU
+    # contraction fatter (Cin 12 -> 48) but the 4x4 -> 2x2 rephase it needs
+    # (_repack4_to2) costs 17 ms/step in XLA relayout copies on v5e —
+    # measured 3x more than the conv saves (train-step profile, BASELINE.md
+    # round 3) — so 2 is the default.
+    base_pack: int = 2
     dtype: Any = jnp.float32
 
     @nn.compact

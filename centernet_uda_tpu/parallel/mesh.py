@@ -73,7 +73,7 @@ class MeshContext:
 
     # ------------------------------------------------------------------
     def shard_train_step(self, train_step: Callable) -> Callable:
-        """jit a ``(state, batch) -> (state, outputs, stats)`` step over the mesh.
+        """jit a ``(state, batch) -> (state, stats)`` step over the mesh.
 
         The state is replicated, the batch sharded over ``data``; XLA inserts
         the gradient all-reduce. The state buffer is donated.

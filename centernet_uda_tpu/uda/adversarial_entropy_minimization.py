@@ -194,6 +194,9 @@ class AdversarialEntropyMinimization(Model):
             stats["dis_target"] = dt_loss
             stats["dis_fool"] = dtf_loss
 
+            self._fold_clamp_stats(
+                {"source_domain": outputs_src, "target_domain": outputs_tgt},
+                stats)
             new_state = state.replace(
                 step=state.step + 1,
                 params=params,
@@ -202,9 +205,7 @@ class AdversarialEntropyMinimization(Model):
                 disc_params=disc_params,
                 disc_opt_state=new_d_opt,
             )
-            outputs = {"source_domain": outputs_src,
-                       "target_domain": outputs_tgt}
-            return new_state, outputs, stats
+            return new_state, stats
 
         return train_step
 

@@ -51,7 +51,9 @@ class TestEntropyMinimization:
             float(stats["centernet_loss"]) + 0.01 * float(stats["entropy_loss"]),
             rtol=1e-5,
         )
-        assert "target_domain" in out
+        # train steps return only stats (head tensors are dead in training);
+        # the eval step still exposes both domains for decode
+        assert "target_domain" in eval_out
         assert np.isfinite(total)
 
 

@@ -5,11 +5,14 @@ rows/s on v5e): 4 corners x 9 taps x HW gathers per image make the big DLA
 layers ~40x slower than a plain conv. This kernel restructures the sampling
 for the TPU's actual shuffle hardware:
 
-- **x-lookup on the MXU**: the bilinear corner weights of both x-corners
-  fold into ONE one-hot select matrix ``S[r, src_lane, dst_lane]``, so
-  resolving the horizontal sample position is a single batched bf16
-  matmul per (tap, shift) — measured faster than both a lane gather and
-  a shift-and-roll loop at every offset scale on v5e.
+- **x-lookup on the MXU**: the bilinear weights of both x-corners fold
+  into ONE select matrix — in the forward a per-tap bilinear *hat*
+  ``H[r, src_lane, dst_lane] = max(0, 1 - |px - src_lane|)`` (row-shift
+  independent, so each shift is just a batched bf16 matmul plus an
+  (R, W) column scale); in the backward the per-shift one-hot
+  compare+select form (the hat restructure regressed there — see the
+  note in ``_dcn_bwd_params_kernel``). Both measured faster than a lane
+  gather and a shift-and-roll loop at every offset scale on v5e.
 - **y-lookup**: a *shift-and-select* loop over bounded row displacements
   ``d`` whose trip range is the block's ACTUAL displacement extent
   (``min/max(floor(py) - row)``), so the loop cost tracks the offset
@@ -197,14 +200,27 @@ def _dcn_kernel(xt_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, *,
 
     out_acc = jnp.zeros((r_blk, w, cout), jnp.float32)
     rgrid = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 0) + r0
-    # source-lane index on dim 1 for the x-select one-hot:
-    # S[r, pos, j] = sum of corner weights whose sample lane is pos
+    # source-lane index on dim 1 for the x-resolve hat matrix:
+    # hat[r, pos, j] = bilinear weight of source lane pos for output j
     pos = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w, w), 1)
+    posf = pos.astype(jnp.float32)
+    # invalid source lanes are pushed to +1e9 so the hat weight vanishes
+    # without a per-tap mask multiply
     if panel_wp:
         jgrid = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 1)
         seg_base = None
+        # source-lane validity in REAL coordinates: panel lanes outside
+        # the image sample zero (the CUDA `p > -1 && p < W` guard)
+        posf = jnp.where((pos + origin >= 0) & (pos + origin <= w_img - 1),
+                         posf, 1e9)
     else:
         jgrid, seg_base = _seg_grids(r_blk, w, w_img)
+        if seg_base is not None:
+            # lane-packed: a sample near an image's edge must not read the
+            # neighboring packed image's lanes
+            posf = jnp.where((pos >= seg_base[:, None, :])
+                             & (pos < seg_base[:, None, :] + w_img),
+                             posf, 1e9)
 
     for t in range(9):
         ti, tj = t // 3, t % 3
@@ -216,33 +232,28 @@ def _dcn_kernel(xt_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, *,
 
         py = rgrid.astype(jnp.float32) + (ti - 1) + off_y
         px = jgrid.astype(jnp.float32) + (tj - 1) + off_x
+        if seg_base is not None:
+            px = px + seg_base.astype(jnp.float32)
 
         y0f = jnp.floor(py)
-        x0f = jnp.floor(px)
         fy = py - y0f
-        fx = px - x0f
         y0 = y0f.astype(jnp.int32)
-        x0 = x0f.astype(jnp.int32)
-
-        # corner validity in REAL coordinates (the CUDA sampler reads 0
-        # strictly outside the map)
-        x0r = x0 + origin if panel_wp else x0
         vy0 = (y0 >= 0) & (y0 <= h - 1)
         vy1 = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)
-        vx0 = (x0r >= 0) & (x0r <= w_img - 1)
-        vx1 = (x0r + 1 >= 0) & (x0r + 1 <= w_img - 1)
 
-        w00 = jnp.where(vy0 & vx0, (1 - fy) * (1 - fx) * m, 0.0)
-        w01 = jnp.where(vy0 & vx1, (1 - fy) * fx * m, 0.0)
-        w10 = jnp.where(vy1 & vx0, fy * (1 - fx) * m, 0.0)
-        w11 = jnp.where(vy1 & vx1, fy * fx * m, 0.0)
+        # x-resolve as a bilinear HAT matrix, built ONCE per tap (px does
+        # not depend on the row shift): hat[r, pos, j] = max(0, 1-|px-pos|)
+        # folds both x-corners' weights, border zeros, and (packed) segment
+        # isolation into one tensor. Per shift the remaining work is a
+        # single batched matmul off the bf16 image rows plus an (R, W)
+        # column scale — the compare+select one-hot build this replaces was
+        # the kernel's VPU bottleneck (~6 ops/elem per shift vs ~5 per tap).
+        hat = jnp.maximum(1.0 - jnp.abs(px[:, None, :] - posf), 0.0
+                          ).astype(jnp.bfloat16)
 
-        clip_hi = w - 1 if panel_wp else w_img - 1
-        x0c = jnp.clip(x0, 0, clip_hi)
-        x1c = jnp.clip(x0 + 1, 0, clip_hi)
-        if seg_base is not None:
-            x0c = x0c + seg_base
-            x1c = x1c + seg_base
+        # y-corner weights per output pixel (mask folded in)
+        a0 = jnp.where(vy0, (1 - fy), 0.0) * m  # weight of row y0
+        a1 = jnp.where(vy1, fy, 0.0) * m        # weight of row y0+1
 
         rel = y0 - rgrid  # bounded row shift of the y0 corner
         # dynamic shift range: only displacements that actually occur in
@@ -252,27 +263,16 @@ def _dcn_kernel(xt_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, *,
         d_hi = jnp.max(rel) + 1  # +1 covers the y0+1 corner
 
         def shift_body(d, s):
-            sel0 = (rel == d).astype(jnp.float32)
-            sel1 = (rel + 1 == d).astype(jnp.float32)
-            a_w = sel0 * w00 + sel1 * w10  # weight of the x0 corner
-            b_w = sel0 * w01 + sel1 * w11  # weight of the x1 corner
-            # x-resolve on the MXU: both corners' bilinear weights fold
-            # into ONE one-hot select matrix, so the per-shift work is a
-            # single (Cin, Wsrc) @ (Wsrc, W) batched matmul straight off
-            # the bf16 image rows — no lane gather, no f32 staging, and
-            # no lax.cond (A/B on v5e, hot 16x128x128x64 layer, trained
-            # near-zero-offset regime: 8.1 -> 5.0 ms; the cond alone
-            # costs more than the work it skips at every offset scale).
-            s_m = (jnp.where(x0c[:, None, :] == pos, a_w[:, None, :], 0.0)
-                   + jnp.where(x1c[:, None, :] == pos, b_w[:, None, :], 0.0)
-                   ).astype(jnp.bfloat16)
+            yw = ((rel == d).astype(jnp.float32) * a0
+                  + (rel + 1 == d).astype(jnp.float32) * a1)
             if panel_wp:
                 src = xt_ref[0, 0, pl.ds(r0 + pad_rows + d, r_blk)]
             else:
                 src = xt_ref[0, pl.ds(r0 + pad_rows + d, r_blk)]
-            return s + jax.lax.dot_general(
-                src, s_m, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
+            hsrc = jax.lax.dot_general(
+                src, hat, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # (R, Cin, W)
+            return s + hsrc * yw[:, None, :]
 
         s = jax.lax.fori_loop(
             jnp.maximum(d_lo, dmin), jnp.minimum(d_hi, dmax) + 1, shift_body,
@@ -552,6 +552,12 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
     rgrid = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 0) + r0
     jgrid, seg_base = _seg_grids(r_blk, w, w_img)
     # pos index on dim 1 for the x-scatter: S[r, pos, j] = (x_idx[r,j]==pos)
+    # NOTE: the forward's per-tap hat-matrix restructure was A/B'd here too
+    # and REGRESSED the backward 25-40% at every shape/offset scale (v5e,
+    # git history): the per-tap (R, Cin, W) gcol transpose plus TWO
+    # persistent (R, W, W) bf16 loop operands (hat + its px-derivative)
+    # cost Mosaic more than the per-shift compare+select builds they
+    # replace — the backward's e0/e1 reductions keep the one-hot form.
     pos = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w, w), 1)
     g_blk = g_ref[0]  # (R, W, Cout)
 

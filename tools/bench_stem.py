@@ -1,10 +1,15 @@
-"""A/B the DLA stem's base-conv phase packing (2x2 vs 4x4) on the TPU.
+"""A/B the DLA stem variants (unpacked vs 2x2 vs 4x4 packing) on the TPU.
 
 The stem (base 7x7 Cin=3 + level0 + level1, backends/dla.py:236-247,
-277-287) profiled at ~11.5 ms of a 116 ms DLA-34 train step with the 2x2
+277-287) profiled at ~8-14 ms of a ~115 ms DLA-34 train step with the 2x2
 space-to-depth packing: the base conv feeds the MXU only 12 contraction
-channels. The 4x4 packing raises that to 48 (Cout 256) at H/4. This times
-fwd and fwd+bwd of the isolated stem for both packings.
+channels. The 4x4 packing raises that to 48 (Cout 256) at H/4 but needs a
+4x4->2x2 rephase that costs more than the conv saves (BASELINE.md round 3).
+This times fwd and fwd+bwd of the isolated stem for all variants.
+
+Every timed call reduces to a scalar INSIDE the jit: the axon debug tunnel
+ships each call's output buffers to the host (~0.5 GB/s), so returning the
+(16,256,256,32) level-1 map would time the tunnel, not the stem.
 
 Knobs: STEM_BATCH (16), STEM_SIZE (512), STEM_STEPS (30).
 """
@@ -34,13 +39,19 @@ def main():
     def sync(v):
         np.asarray(jax.tree.leaves(v)[0])
 
-    for pack in (2, 4):
+    for label, kwargs in (
+        ("unpacked", {"stem_s2d": False}),
+        ("pack=2", {"base_pack": 2}),
+        ("pack=4", {"base_pack": 4}),
+    ):
         # full trunk, but only outputs[0:2] (base+level0+level1) are used:
         # XLA dead-code-eliminates the level2..5 trees from both jits
-        trunk = DLATrunk(base_pack=pack, dtype=jnp.bfloat16)
+        trunk = DLATrunk(dtype=jnp.bfloat16, **kwargs)
         v = trunk.init(jax.random.PRNGKey(0), x, train=False)
 
-        fwd = jax.jit(lambda p, xx: trunk.apply(p, xx, train=False)[1])
+        fwd = jax.jit(lambda p, xx: sum(
+            jnp.sum(o.astype(jnp.float32))
+            for o in trunk.apply(p, xx, train=False)[:2]))
 
         def loss(params, xx):
             outs = trunk.apply({"params": params,
@@ -48,7 +59,12 @@ def main():
                                xx, train=True, mutable=["batch_stats"])[0]
             return sum(jnp.sum(o.astype(jnp.float32)) for o in outs[:2])
 
-        bwd = jax.jit(jax.grad(loss))
+        def bwd_scalar(params, xx):
+            g = jax.grad(loss)(params, xx)
+            return sum(jnp.sum(l.astype(jnp.float32))
+                       for l in jax.tree.leaves(g))
+
+        bwd = jax.jit(bwd_scalar)
 
         y = fwd(v, x); sync(y)
         t0 = time.perf_counter()
@@ -63,7 +79,7 @@ def main():
             g = bwd(v["params"], x)
         sync(g)
         fb_ms = (time.perf_counter() - t0) / steps * 1e3
-        print(f"pack={pack}: stem fwd {fwd_ms:.2f} ms, "
+        print(f"{label}: stem fwd {fwd_ms:.2f} ms, "
               f"fwd+bwd {fb_ms:.2f} ms", flush=True)
 
 

@@ -62,6 +62,10 @@ def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
     import jax
 
+    # cache even sub-second compiles: through the remote-compile tunnel a
+    # "0.4 s" compile costs ~10x its local time, and there are many of them
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     backend_name = os.environ.get("BENCH_BACKEND", "dla")
     batch_size = int(os.environ.get("BENCH_BATCH", 16))
     input_size = int(os.environ.get("BENCH_SIZE", 512))
@@ -70,7 +74,7 @@ def main():
     # optional-stage wall-clock budget, measured from process start. Any
     # optional stage only *starts* while under budget, so one slow compile
     # can never prevent the core JSON line from printing.
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "330"))
 
     import __graft_entry__ as ge
     import jax.numpy as jnp

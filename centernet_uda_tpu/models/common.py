@@ -11,6 +11,7 @@ batch — a deliberate improvement over ``nn.DataParallel``'s per-GPU BN
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -323,9 +324,14 @@ class Backend:
 
     def init(self, rng: jax.Array, input_size: Tuple[int, int] = (512, 512)
              ) -> Dict[str, Any]:
-        """Initialize variables with a dummy NHWC batch."""
+        """Initialize variables with a dummy NHWC batch.
+
+        Jitted as ONE program: un-jitted Flax init dispatches every op in
+        the dummy forward eagerly, which costs hundreds of tiny per-op
+        compiles (minutes through a remote-compile TPU tunnel, and each
+        Pallas kernel compiles standalone)."""
         x = jnp.zeros((1, input_size[1], input_size[0], 3), jnp.float32)
-        return self.module.init(rng, x, train=False)
+        return jax.jit(partial(self.module.init, train=False))(rng, x)
 
     def apply(self, variables, x, train: bool = False, mutable=False):
         return self.module.apply(variables, x, train=train, mutable=mutable)

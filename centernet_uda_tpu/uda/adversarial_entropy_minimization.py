@@ -84,7 +84,7 @@ class AdversarialEntropyMinimization(Model):
         rng = jax.random.PRNGKey(int(self.cfg.get("seed", 42)) + 1 if self.cfg else 1)
         h = self._train_input_size()[1] // self.backend.down_ratio
         w = self._train_input_size()[0] // self.backend.down_ratio
-        disc_vars = self.discriminator.init(
+        disc_vars = jax.jit(self.discriminator.init)(
             rng, jnp.zeros((1, h, w, num_classes), jnp.float32)
         )
 
@@ -105,7 +105,7 @@ class AdversarialEntropyMinimization(Model):
 
         self.state = self.state.replace(
             disc_params=disc_vars["params"],
-            disc_opt_state=self.disc_tx.init(disc_vars["params"]),
+            disc_opt_state=jax.jit(self.disc_tx.init)(disc_vars["params"]),
         )
         self._build_step_fns()  # rebuild with discriminator in the state
 

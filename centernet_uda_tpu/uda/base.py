@@ -86,7 +86,9 @@ class Model:
         opt_name, opt_params = self._optimizer_config()
         self.base_lr = float((opt_params or {}).get("lr", 1e-3))
         self.tx = optim_util.make_optimizer(opt_name, opt_params, frozen_mask)
-        opt_state = self.tx.init(params)
+        # jitted for the same reason as Backend.init: eager optax init
+        # dispatches one tiny zeros-op per param leaf
+        opt_state = jax.jit(self.tx.init)(params)
 
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),

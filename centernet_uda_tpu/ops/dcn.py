@@ -209,7 +209,10 @@ def _dcn_pallas_bwd(res, g):
             k = mask.shape[-1]
             off = offset.reshape(offset.shape[:-1] + (k, 2))
             off = jnp.clip(off, -PALLAS_MAX_SHIFT, PALLAS_MAX_SHIFT)
-            return dcn_v2(x, off.reshape(offset.shape), mask, weight, bias)
+            out = dcn_v2(x, off.reshape(offset.shape), mask, weight, bias)
+            # the Pallas forward emits x.dtype; the cotangent arrives in
+            # that dtype, so the reference formulation must match
+            return out.astype(x.dtype)
 
         _, vjp = jax.vjp(ref, x, offset, mask, weight,
                          bias if bias is not None else jnp.zeros(

@@ -288,10 +288,13 @@ def _dcn_kernel(xt_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, *,
             preferred_element_type=jnp.float32,
         )
 
+    # output in the image dtype (f32 accumulation throughout): a bf16 store
+    # halves the HBM write + the downstream BN's read per DCN layer
     if panel_wp:
-        out_ref[0, 0] = out_acc + b_ref[0][None, None, :]
+        out_ref[0, 0] = (out_acc + b_ref[0][None, None, :]
+                         ).astype(out_ref.dtype)
     else:
-        out_ref[0] = out_acc + b_ref[0][None, None, :]
+        out_ref[0] = (out_acc + b_ref[0][None, None, :]).astype(out_ref.dtype)
 
 
 def dcn_v2_pallas(
@@ -344,7 +347,8 @@ def dcn_v2_pallas_lanes(
 
     Same operand contract as ``ops.dcn.dcn_v2``: x (B,H,W,Cin) NHWC,
     offset (B,H,W,18) interleaved (dy,dx), mask (B,H,W,9) post-sigmoid,
-    weight (3,3,Cin,Cout) HWIO. Returns (B,H,W,Cout) float32.
+    weight (3,3,Cin,Cout) HWIO. Returns (B,H,W,Cout) in x.dtype (the
+    accumulation is float32 regardless).
     """
     b, h, w, cin = x.shape
     kh, kw, _, cout = weight.shape
@@ -410,7 +414,7 @@ def dcn_v2_pallas_lanes(
         out_specs=pl.BlockSpec((1, r_blk, wl, cout),
                                lambda i, r: (i, r, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bp, h_pad, wl, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bp, h_pad, wl, cout), x.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -492,7 +496,7 @@ def _dcn_v2_pallas_wide(x, offset, mask, weight, bias, max_shift, interpret):
                                lambda i, p, r: (i, p, r, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_p, h_pad, 128, cout),
-                                       jnp.float32),
+                                       x.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -970,7 +974,8 @@ def _sel_fwd_kernel(xp_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, *,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    out_ref[0] = out_acc.reshape(r_blk, w, cout) + b_ref[0][None, None, :]
+    out_ref[0] = (out_acc.reshape(r_blk, w, cout) + b_ref[0][None, None, :]
+                  ).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
@@ -987,7 +992,7 @@ def dcn_v2_pallas_select(
 
     Same operand contract as ``ops.dcn.dcn_v2``; only the VERTICAL offset
     clamps to ``max_shift`` (horizontal sampling is exact).
-    Returns (B, H, W, Cout) float32.
+    Returns (B, H, W, Cout) in x.dtype (float32 accumulation).
     """
     b, h, w, cin = x.shape
     kh, kw, _, cout = weight.shape
@@ -1023,7 +1028,7 @@ def dcn_v2_pallas_select(
         out_specs=pl.BlockSpec((1, r_blk, w, cout),
                                lambda i, r: (i, r, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h_pad, w, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h_pad, w, cout), x.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,

@@ -249,11 +249,18 @@ def dcn_v2(
 
     x (B,H,W,Cin); offset (B,Ho,Wo,2K) interleaved (dy,dx) per tap;
     mask (B,Ho,Wo,K) in [0,1]; weight (kh,kw,Cin,Cout) HWIO.
-    Returns (B,Ho,Wo,Cout) float32.
+
+    Output dtype is path-dependent (accumulation is float32 on both):
+    the Pallas path returns ``x.dtype`` (bf16 under the training default —
+    halves the HBM write and the downstream BN read), the XLA fallback
+    returns float32. Gradients through the Pallas path therefore see a
+    bf16 cotangent at each DCN boundary; both backwards re-cast to f32
+    internally, covered by the gradcheck/parity tests.
 
     With ``use_pallas`` (and a supported configuration) the forward runs the
-    fused Pallas kernel (ops/dcn_pallas.py); gradients flow through the XLA
-    formulation with matching offset-clamp semantics.
+    fused Pallas kernel (ops/dcn_pallas.py) with a fused Pallas backward;
+    only forced-"lanes" wide maps differentiate through the XLA formulation
+    with matching offset-clamp semantics (see ``_dcn_pallas_bwd``).
     """
     if use_pallas and _pallas_supported(x, weight, stride, padding, dilation):
         return _dcn_pallas_op(x, offset, mask, weight, bias)

@@ -217,15 +217,19 @@ def _run_phase(trainer, loader, evaluators, tb_logger, stats, epoch, tag,
                 value = float(v)
                 meter.update(value, n_w)
                 stats[log_key] = meter
-                if (k == "dcn_max_abs_dy" and not clamp_warned
-                        and value >= 0.9 * dcn_ops.PALLAS_MAX_SHIFT):
-                    clamp_warned = True
-                    log.warning(
-                        "DCN vertical offsets reached %.1f px — within "
-                        "10%% of the Pallas clamp (max_shift=%d). Accuracy "
-                        "may silently truncate; consider dcn_impl=xla "
-                        "(exact, unbounded) for this run.",
-                        value, dcn_ops.PALLAS_MAX_SHIFT)
+                if k == "dcn_max_abs_dy":
+                    # AT the clamp: the numbers are already truncating —
+                    # auto-degrade to the exact XLA path (uda/base.py)
+                    trainer.maybe_degrade_dcn(value)
+                    if (not clamp_warned
+                            and value >= 0.9 * dcn_ops.PALLAS_MAX_SHIFT):
+                        clamp_warned = True
+                        log.warning(
+                            "DCN vertical offsets reached %.1f px — within "
+                            "10%% of the Pallas clamp (max_shift=%d). The "
+                            "run auto-switches to the exact XLA path if the "
+                            "clamp is hit; consider dcn_impl=xla outright.",
+                            value, dcn_ops.PALLAS_MAX_SHIFT)
         pending.clear()
 
     for data in loader:

@@ -49,6 +49,15 @@ class FCDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if x.shape[1] < 32 or x.shape[2] < 32:
+            # five stride-2 convs need >= 32 px; below that the output is
+            # ZERO-SIZE and the BCE mean silently becomes NaN (torch raises
+            # "Output size is too small" here). With down_ratio 4 this means
+            # ADVENT needs >= 128 px inputs.
+            raise ValueError(
+                f"FCDiscriminator input {x.shape[1]}x{x.shape[2]} is too "
+                "small: five stride-2 convs need >= 32x32 (input images >= "
+                "128 px at down_ratio 4)")
         widths = (self.ndf, self.ndf * 2, self.ndf * 4, self.ndf * 8)
         for i, w in enumerate(widths):
             x = nn.Conv(w, (4, 4), strides=(2, 2), padding=[(1, 1), (1, 1)],
@@ -233,7 +242,7 @@ class AdversarialEntropyMinimization(Model):
     def epoch_end(self):
         super().epoch_end()
         if self.disc_scheduler is not None and self.state is not None:
-            lr = self.disc_base_lr * self.disc_scheduler.factor(self.epoch)
+            lr = self.disc_scheduler.lr(self.epoch, self.disc_base_lr)
             optim_util.set_learning_rate(self.state.disc_opt_state, lr)
 
     def save_model(self, path, epoch, with_optimizer: bool = False):

@@ -135,11 +135,39 @@ class Model:
         """Per-epoch LR schedule step (uda/base.py:24-29)."""
         self.epoch += 1
         if self.scheduler is not None and self.state is not None:
-            lr = self.base_lr * self.scheduler.factor(self.epoch)
+            lr = self.scheduler.lr(self.epoch, self.base_lr)
             optim_util.set_learning_rate(self.state.opt_state, lr)
 
     def set_phase(self, is_training: bool = True):
         self.is_training = is_training
+
+    def maybe_degrade_dcn(self, max_abs_dy: float) -> bool:
+        """Runtime fallback when the Pallas vertical-offset clamp saturates.
+
+        The Pallas DCN kernels clamp vertical offsets to
+        ``ops.dcn.PALLAS_MAX_SHIFT`` px while the reference CUDA sampler is
+        unbounded (src/cuda/dcn_v2_im2col_cuda.cu:25-54). Once the monitored
+        ``dcn_max_abs_dy`` stat REACHES the clamp the kernel output is
+        already truncating, so this switches the process default to the
+        exact XLA formulation and rebuilds the jitted step functions — the
+        next step retraces on the unbounded path. Returns True when the
+        switch happened.
+        """
+        from centernet_uda_tpu.ops import dcn as dcn_ops
+
+        if not dcn_ops.get_pallas_default():
+            return False
+        if max_abs_dy < dcn_ops.PALLAS_MAX_SHIFT:
+            return False
+        dcn_ops.set_pallas_default(False)
+        self._build_step_fns()
+        log.error(
+            "DCN vertical offsets reached %.1f px — AT the Pallas clamp "
+            "(max_shift=%d): sampling was truncating. Switched this run to "
+            "the exact XLA DCN path (unbounded offsets) and rebuilt the "
+            "step functions; the next step recompiles once.",
+            max_abs_dy, dcn_ops.PALLAS_MAX_SHIFT)
+        return True
 
     # ------------------------------------------------------------------
     # step functions

@@ -124,10 +124,19 @@ def get_learning_rate(opt_state) -> Optional[float]:
 
 
 class _Scheduler:
-    """lr multiplier as a function of 0-based epoch count."""
+    """Per-epoch learning rate, absolute: ``lr(epoch, base_lr)``.
+
+    Most torch schedulers are pure multipliers of the base lr and implement
+    ``factor(epoch)``; schedulers with an absolute floor (CosineAnnealingLR's
+    ``eta_min``) override ``lr`` directly — a multiplier can't express
+    ``eta_min + (base - eta_min) * f(t)``.
+    """
 
     def factor(self, epoch: int) -> float:  # pragma: no cover
         raise NotImplementedError
+
+    def lr(self, epoch: int, base_lr: float) -> float:
+        return base_lr * self.factor(epoch)
 
 
 class MultiStepLR(_Scheduler):
@@ -158,15 +167,26 @@ class ExponentialLR(_Scheduler):
 
 
 class CosineAnnealingLR(_Scheduler):
+    """torch.optim.lr_scheduler.CosineAnnealingLR closed form:
+    ``eta_min + (base - eta_min) * (1 + cos(pi * t / T_max)) / 2``.
+
+    ``eta_min`` is an ABSOLUTE lr floor (three reference experiment YAMLs set
+    it, e.g. configs/experiment/adversarial_entropy_minimization_dla.yaml:33),
+    so this scheduler overrides ``lr`` rather than ``factor``. Not clamped at
+    T_max: torch's recursion continues the cosine (period 2*T_max) past it.
+    """
+
     def __init__(self, T_max: int, eta_min: float = 0.0, **_):
         self.t_max = int(T_max)
         self.eta_min = float(eta_min)
 
+    def lr(self, epoch: int, base_lr: float) -> float:
+        cos = (1 + math.cos(math.pi * epoch / self.t_max)) / 2
+        return self.eta_min + (base_lr - self.eta_min) * cos
+
     def factor(self, epoch: int) -> float:
-        # relative factor assuming eta_min is absolute in torch; callers use
-        # lr = base * factor, so fold eta_min/base at call time if needed.
-        cos = (1 + math.cos(math.pi * min(epoch, self.t_max) / self.t_max)) / 2
-        return cos
+        # multiplier view; exact only for eta_min == 0 (use ``lr`` otherwise)
+        return (1 + math.cos(math.pi * epoch / self.t_max)) / 2
 
 
 _SCHEDULERS = {

@@ -331,3 +331,41 @@ def test_slow_path_warnings(caplog):
         assert not caplog.records
     finally:
         dcn_pallas.set_kernel_version(old)
+
+
+def test_clamp_saturation_degrades_to_exact_xla():
+    """Offsets AT the Pallas clamp trigger a runtime switch to the exact
+    unbounded XLA path (VERDICT r03 #6): ``maybe_degrade_dcn`` flips the
+    process default, rebuilds the jitted step functions, and the next step
+    runs (and trains) on the XLA formulation."""
+    import __graft_entry__ as ge
+    import centernet_uda_tpu.ops.dcn as dcn_mod
+
+    old = dcn_mod.get_pallas_default()
+    try:
+        # a run configured for the Pallas kernels (dcn_impl: pallas)
+        dcn_mod.set_pallas_default("pallas")
+        trainer = ge._build_trainer(batch_size=2, input_size=64)
+        trainer.init_done()
+        step_before = trainer._train_step
+
+        # below the clamp: nothing happens
+        assert not trainer.maybe_degrade_dcn(
+            0.95 * dcn_mod.PALLAS_MAX_SHIFT)
+        assert dcn_mod.get_pallas_default()
+        assert trainer._train_step is step_before
+
+        # monitored |dy| reaches the clamp -> degrade once
+        assert trainer.maybe_degrade_dcn(float(dcn_mod.PALLAS_MAX_SHIFT))
+        assert not dcn_mod.get_pallas_default()
+        assert trainer._train_step is not step_before
+        # idempotent: already on the exact path
+        assert not trainer.maybe_degrade_dcn(100.0)
+
+        # the rebuilt step retraces on the exact XLA path and trains
+        out = trainer.step(ge._tiny_batch(2, 64), is_training=True)
+        assert np.isfinite(float(out["stats"]["total_loss"]))
+        # the XLA path sows no clamp monitor -> the stat disappears
+        assert "dcn_max_abs_dy" not in out["stats"]
+    finally:
+        dcn_mod.set_pallas_default(old)

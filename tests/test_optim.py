@@ -74,6 +74,35 @@ class TestSchedulers:
         assert s.factor(10) == pytest.approx(0.0, abs=1e-9)
         assert 0.4 < s.factor(5) < 0.6
 
+    @pytest.mark.parametrize("t_max,eta_min,base_lr", [
+        # the three reference configs that set eta_min
+        (50, 1e-6, 2.5e-5),   # adversarial_entropy_minimization_dla.yaml:30-33
+        (20, 1e-8, 5e-5),     # keypoints.yaml:38-41
+        (10, 1e-7, 5e-5),     # coco_merged.yaml:111-114
+    ])
+    def test_cosine_eta_min_matches_torch(self, t_max, eta_min, base_lr):
+        """Pin lr(epoch) against torch.optim.lr_scheduler.CosineAnnealingLR.
+
+        The reference steps the scheduler once per epoch (uda/base.py:28-29);
+        our ``lr(epoch, base_lr)`` must reproduce torch's schedule including
+        the absolute ``eta_min`` floor, which a bare multiplier can't express.
+        """
+        torch = pytest.importorskip("torch")
+
+        opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base_lr)
+        sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+            opt, T_max=t_max, eta_min=eta_min)
+        ours = optim_util.make_scheduler(
+            "CosineAnnealingLR", {"T_max": t_max, "eta_min": eta_min})
+        # epoch 0 = initial lr; epoch e = after e scheduler steps
+        for epoch in range(int(t_max * 1.5) + 1):
+            torch_lr = opt.param_groups[0]["lr"]
+            assert ours.lr(epoch, base_lr) == pytest.approx(
+                torch_lr, rel=1e-6, abs=1e-12), f"epoch {epoch}"
+            sched.step()
+        # the floor is honored exactly at T_max
+        assert ours.lr(t_max, base_lr) == pytest.approx(eta_min)
+
     def test_none(self):
         assert optim_util.make_scheduler(None) is None
 

@@ -103,17 +103,18 @@ def _pallas_supported(x, weight, stride, padding, dilation) -> bool:
     dw_resident = 3 * 9 * cin * cout * 4
     gen = dcn_pallas.generation_for(x.shape)
     if gen == "select":
-        # backward working set: H-padded x (bf16) + H-padded dx (f32)
-        # resident in VMEM per image, plus row-block scratches
+        # backward working set: H-padded x (bf16) + H-padded dx f32
+        # scratch + dx output (bf16) resident in VMEM per image, plus
+        # row-block scratches
         pad = 2 * (PALLAS_MAX_SHIFT + 2)
-        resident = (h + pad) * w * cin * (2 + 4)
+        resident = (h + pad) * w * cin * (2 + 4 + 2)
         return resident + dw_resident <= 80 * 1024 * 1024
     # VMEM budget for the lanes backward: the whole H-padded image stays
-    # resident (bf16 staging + f32 dx), like the select estimate above —
-    # an unbounded H (or fat Cout dW accumulator) would die in the Mosaic
-    # VMEM allocator instead of taking this XLA fallback
+    # resident (bf16 staging + f32 dx scratch + bf16 dx output), like the
+    # select estimate above — an unbounded H (or fat Cout dW accumulator)
+    # would die in the Mosaic VMEM allocator instead of this XLA fallback
     pad = 2 * (PALLAS_MAX_SHIFT + 2)
-    resident = (h + pad) * max(w, 128) * cin * (2 + 4)
+    resident = (h + pad) * max(w, 128) * cin * (2 + 4 + 2)
     return (
         # small maps waste lanes (W of 128) but still beat the XLA gather
         # path by ~10x (they lane-pack, see dcn_pallas._pack_factor); wide

@@ -516,7 +516,7 @@ def _dcn_v2_pallas_wide(x, offset, mask, weight, bias, max_shift, interpret):
 
 def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
                            doff_ref, dmask_ref, dw_out_ref, dxp_ref,
-                           dw_acc, s_acc, *,
+                           dw_acc, s_acc, dx_acc, *,
                            h: int, w: int, w_img: int, cin: int, cout: int,
                            pad_rows: int, max_shift: int, row_block: int):
     """All gradients in ONE source-centric pass.
@@ -548,10 +548,12 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
     @pl.when(rb == 0)
     def _init():
         dw_acc[:] = jnp.zeros_like(dw_acc)
-        # dx is a whole-image block revisited by every row-block program of
-        # this image: it lives in VMEM across the grid row and is written
-        # back once per image (no HBM partials, no band summation)
-        dxp_ref[0] = jnp.zeros_like(dxp_ref[0])
+        # dx accumulates in a whole-image f32 VMEM scratch revisited by
+        # every row-block program of this image (no HBM partials, no band
+        # summation) and is written back ONCE per image in the output
+        # dtype — bf16 under the training default, halving the dominant
+        # HBM write of the backward
+        dx_acc[:] = jnp.zeros_like(dx_acc)
 
     rgrid = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 0) + r0
     jgrid, seg_base = _seg_grids(r_blk, w, w_img)
@@ -651,8 +653,8 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
                 preferred_element_type=jnp.float32,
             )  # (R, Wpos, Cin)
             row = r0 + pad_rows + d
-            dxp_ref[0, pl.ds(row, r_blk)] = (
-                dxp_ref[0, pl.ds(row, r_blk)] + contrib)
+            dx_acc[pl.ds(row, r_blk)] = (
+                dx_acc[pl.ds(row, r_blk)] + contrib)
 
             # corner contraction E[r, jsrc, j] = sum_c src[c, jsrc] gcol[j, c]
             # from which e0/e1 are unweighted one-hot row-reductions; every
@@ -697,6 +699,7 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
     @pl.when(rb == n_rb - 1)
     def _finalize():
         dw_out_ref[0] = dw_acc[:]
+        dxp_ref[0] = dx_acc[:].astype(dxp_ref.dtype)
 
 
 def _bwd_stage(x, offset, mask, weight, g, max_shift):
@@ -732,10 +735,14 @@ def _bwd_stage(x, offset, mask, weight, g, max_shift):
                      ((0, 0), (0, extra), (0, 0), (0, 0))
                      ).transpose(0, 3, 1, 2)
     w_taps = weight.reshape(9, cin, cout).astype(jnp.float32)
-    g = g.astype(jnp.float32)
+    # the cotangent stages in ITS dtype — bf16 under the training default
+    # (the Pallas forward emits x.dtype, so g arrives bf16): staging it to
+    # f32 doubled the backward's largest input read for mantissa bits the
+    # cotangent no longer carries. Kernels upcast per-use for f32 math.
+    g = g if g.dtype == jnp.bfloat16 else g.astype(jnp.float32)
     g_blk_in = jnp.pad(g, ((0, 0), (0, extra), (0, 0), (0, 0)))
     dims = dict(b=b // pk, h=h, w=pk * w, w_img=w, pk=pk, cin=cin, cout=cout,
-                pad_rows=pad_rows, r_blk=r_blk, h_pad=h_pad)
+                pad_rows=pad_rows, r_blk=r_blk, h_pad=h_pad, x_dtype=x.dtype)
     return xt, off_t, mask_t, w_taps, g_blk_in, dims
 
 
@@ -777,12 +784,15 @@ def _bwd_params_call(xt, off_t, mask_t, w_taps, g_blk_in, dims, max_shift,
             jax.ShapeDtypeStruct((b, 18, h_pad, w), jnp.float32),
             jax.ShapeDtypeStruct((b, 9, h_pad, w), jnp.float32),
             jax.ShapeDtypeStruct((b, 9, cin, cout), jnp.float32),
+            # dx leaves the kernel in the image dtype (bf16 under the
+            # training default) — accumulation stays f32 in VMEM scratch
             jax.ShapeDtypeStruct((b, h_pad + 2 * pad_rows, w, cin),
-                                 jnp.float32),
+                                 dims["x_dtype"]),
         ],
         scratch_shapes=[
             pltpu.VMEM((9, cin, cout), jnp.float32),
             pltpu.VMEM((r_blk, cin, w), jnp.float32),
+            pltpu.VMEM((h_pad + 2 * pad_rows, w, cin), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -827,7 +837,7 @@ def dcn_v2_pallas_bwd_lanes(
     doff = _unpack_w(doff_t.transpose(0, 2, 3, 1), pk)[:, :h]
     dmask = _unpack_w(dmask_t.transpose(0, 2, 3, 1), pk)[:, :h]
     dweight = dw_b.sum(axis=0).reshape(3, 3, cin, cout).astype(weight.dtype)
-    dbias = g_blk_in[:, :h].sum(axis=(0, 1, 2))
+    dbias = g_blk_in[:, :h].astype(jnp.float32).sum(axis=(0, 1, 2))
     return dx, doff, dmask, dweight, dbias
 
 
@@ -1038,7 +1048,7 @@ def dcn_v2_pallas_select(
 
 def _sel_bwd_kernel(xp_ref, off_ref, mask_ref, w_ref, g_ref,
                     doff_ref, dmask_ref, dw_out_ref, dxp_ref,
-                    dw_acc, s_acc, *,
+                    dw_acc, s_acc, dx_acc, *,
                     h: int, w: int, cin: int, cout: int, pad_rows: int,
                     max_shift: int, row_block: int):
     """All gradients in one NHWC pass — three batched MXU matmuls per
@@ -1060,7 +1070,9 @@ def _sel_bwd_kernel(xp_ref, off_ref, mask_ref, w_ref, g_ref,
     @pl.when(rb == 0)
     def _init():
         dw_acc[:] = jnp.zeros_like(dw_acc)
-        dxp_ref[0] = jnp.zeros_like(dxp_ref[0])
+        # dx accumulates in f32 VMEM scratch and is written back once per
+        # image in the output dtype (see the lanes backward)
+        dx_acc[:] = jnp.zeros_like(dx_acc)
 
     rgrid = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 0) + r0
     jgrid = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 1)
@@ -1129,8 +1141,8 @@ def _sel_bwd_kernel(xp_ref, off_ref, mask_ref, w_ref, g_ref,
                 preferred_element_type=jnp.float32,
             )  # (R, Wsrc, Cin)
             row = r0 + pad_rows + d
-            dxp_ref[0, pl.ds(row, r_blk)] = (
-                dxp_ref[0, pl.ds(row, r_blk)] + contrib)
+            dx_acc[pl.ds(row, r_blk)] = (
+                dx_acc[pl.ds(row, r_blk)] + contrib)
 
             # corner contraction E[r, jsrc, jdst] = sum_c src . gcol
             e_mat = jax.lax.dot_general(
@@ -1173,6 +1185,7 @@ def _sel_bwd_kernel(xp_ref, off_ref, mask_ref, w_ref, g_ref,
     @pl.when(rb == n_rb - 1)
     def _finalize():
         dw_out_ref[0] = dw_acc[:]
+        dxp_ref[0] = dx_acc[:].astype(dxp_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
@@ -1195,8 +1208,9 @@ def dcn_v2_pallas_bwd_select(
     xp, off_p, mask_p, pad_rows, h_pad = _sel_stage(
         x, offset, mask, max_shift, r_blk)
     w_taps = weight.reshape(9, cin, cout).astype(jnp.float32)
-    g_p = jnp.pad(g.astype(jnp.float32),
-                  ((0, 0), (0, h_pad - h), (0, 0), (0, 0)))
+    # cotangent stages in its own dtype (see the lanes backward)
+    g_in = g if g.dtype == jnp.bfloat16 else g.astype(jnp.float32)
+    g_p = jnp.pad(g_in, ((0, 0), (0, h_pad - h), (0, 0), (0, 0)))
 
     kernel = functools.partial(
         _sel_bwd_kernel, h=h, w=w, cin=cin, cout=cout, pad_rows=pad_rows,
@@ -1231,11 +1245,13 @@ def dcn_v2_pallas_bwd_select(
             jax.ShapeDtypeStruct((b, h_pad, w, 18), jnp.float32),
             jax.ShapeDtypeStruct((b, h_pad, w, 9), jnp.float32),
             jax.ShapeDtypeStruct((b, 9, cin, cout), jnp.float32),
-            jax.ShapeDtypeStruct((b, hp2, w, cin), jnp.float32),
+            # dx leaves in the image dtype; f32 accumulation in scratch
+            jax.ShapeDtypeStruct((b, hp2, w, cin), x.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((9, cin, cout), jnp.float32),
             pltpu.VMEM((r_blk, w, cin), jnp.float32),
+            pltpu.VMEM((hp2, w, cin), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),

@@ -732,6 +732,118 @@ def test_dla_rotated_kps_heads_match_reference_forward(reference_dla,
     _compare_heads(ref_out, flax_out, atol=1e-3)
 
 
+def test_dla_gradients_match_reference(reference_dla, tmp_path):
+    """END-TO-END BACKWARD parity for the FLAGSHIP: d(loss)/d(params) of
+    the full DLASeg forward + DetectionLoss vs torch autograd through the
+    real reference model (compiled DCN extension replaced by the
+    autograd-capable ``TwinDCN``, pinned against our XLA op above) on
+    identical weights, inputs, and targets. This pins the semantics the
+    Pallas DCN kernels replace — the deformable neck's backward — across
+    frameworks (VERDICT r03 #10). Scope mirrors the ResNet-18 gradient
+    test: loss value + the heavy (head/neck) leaves; deep trunk leaves
+    sit at the f32 cross-implementation noise floor (see that test's
+    docstring for the measurement)."""
+    from centernet_uda_tpu.losses.centernet import DetectionLoss
+    from centernet_uda_tpu.utils.torch_import import (_dla_path_to_torch,
+                                                      _flatten)
+
+    torch_twins.seed_all(21)
+    ref = reference_dla.DLASeg(
+        "dla34", {"hm": 3, "wh": 2, "reg": 2}, pretrained=False,
+        down_ratio=4, final_kernel=1, last_level=5, head_conv=256)
+    for mod in ref.modules():
+        if isinstance(mod, torch_twins.TwinDCN):
+            mod.conv_offset_mask.weight.data.normal_(0, 0.05)
+            mod.conv_offset_mask.bias.data.normal_(0, 0.1)
+    ref.eval()  # fixed BN statistics on both sides
+    ckpt = tmp_path / "ref_dla_grad.pth"
+    _save_reference_ckpt(ref, ckpt)
+
+    backend = models.build("dla", num_classes=3, pretrained=False)
+    variables = backend.init(jax.random.PRNGKey(0), (64, 64))
+    variables = ti.import_state_dict(str(ckpt), variables, "dla34")
+
+    rng = np.random.RandomState(21)
+    b, c, hw, k = 2, 3, 16, 6
+    x = rng.randn(b, 3, 64, 64).astype(np.float32)
+    hm_t = np.zeros((b, c, hw, hw), np.float32)
+    for bi in range(b):
+        for _ in range(3):
+            hm_t[bi, rng.randint(c), rng.randint(hw), rng.randint(hw)] = 1.0
+    hm_t = np.maximum(hm_t, rng.rand(b, c, hw, hw).astype(np.float32) * 0.5)
+    batch_np = {
+        "hm": hm_t,
+        "ind": rng.randint(0, hw * hw, (b, k)).astype(np.int64),
+        "reg_mask": (rng.rand(b, k) > 0.3).astype(np.float32),
+        "wh": np.abs(rng.randn(b, k, 2)).astype(np.float32) * 3,
+        "reg": rng.randn(b, k, 2).astype(np.float32) * 0.5,
+    }
+
+    # --- torch side -----------------------------------------------------
+    sys.modules.pop("losses", None)
+    sys.modules.pop("losses.centernet", None)
+    import losses.centernet as ref_losses  # noqa: E402
+
+    crit = ref_losses.DetectionLoss(hm_weight=1.0, wh_weight=0.1,
+                                    off_weight=1.0)
+    out = ref(torch.from_numpy(x))
+    t_batch = {kk: torch.from_numpy(vv) for kk, vv in batch_np.items()}
+    ref_loss, _ = crit(out, t_batch)
+    ref.zero_grad()
+    ref_loss.backward()
+    torch_grads = {n: p.grad.detach().numpy()
+                   for n, p in ref.named_parameters() if p.grad is not None}
+
+    # --- jax side (exact XLA DCN path on CPU) ----------------------------
+    ours = DetectionLoss(hm_weight=1.0, wh_weight=0.1, off_weight=1.0)
+    x_nhwc = np.transpose(x, (0, 2, 3, 1))
+    j_batch = {**batch_np, "hm": np.transpose(batch_np["hm"], (0, 2, 3, 1))}
+
+    def loss_fn(params):
+        outputs = backend.module.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x_nhwc, train=False)
+        total, _ = ours(outputs, j_batch)
+        return total
+
+    got_loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    np.testing.assert_allclose(float(got_loss), float(ref_loss.detach()),
+                               rtol=1e-4)
+
+    pairs = []
+    for path, g in _flatten(grads).items():
+        spec = _dla_path_to_torch("params", path)
+        if spec is None or spec[0] not in torch_grads:
+            continue
+        tg = np.asarray(spec[1](torch_grads[spec[0]]))
+        pairs.append((path, spec[0], np.asarray(g), tg))
+    assert pairs, "no gradient leaves mapped through the import shim"
+
+    # compare the leaves that carry the optimization signal (see the
+    # ResNet-18 gradient test for the threshold rationale); require the
+    # set to include DEFORMABLE-NECK leaves, not just heads, so the DCN
+    # backward semantics are actually exercised cross-framework
+    max_norm = max(np.linalg.norm(tg) for _, _, _, tg in pairs)
+    compared, neck_compared = 0, 0
+    for path, tkey, g, tg in pairs:
+        t_norm = np.linalg.norm(tg)
+        if t_norm < max_norm / 100.0:
+            continue
+        rel_l2 = np.linalg.norm(g - tg) / (t_norm + 1e-12)
+        assert rel_l2 < 1e-1, (
+            f"gradient diverges at {path} (torch {tkey}): rel L2 {rel_l2}")
+        compared += 1
+        if path[0] in ("dla_up", "ida_up"):
+            neck_compared += 1
+    assert compared >= 6, f"only {compared} gradient leaves compared"
+    assert neck_compared >= 2, (
+        f"only {neck_compared} deformable-neck leaves above the signal "
+        "threshold — the DCN backward was not exercised")
+
+    sys.modules.pop("losses", None)
+    sys.modules.pop("losses.centernet", None)
+
+
 def test_resnet18_matches_reference_forward(reference_backends, tmp_path):
     torch_twins.seed_all(0)
     ref = reference_backends["resnet"].build(

@@ -256,11 +256,20 @@ def _dcn_kernel(xt_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, *,
         a1 = jnp.where(vy1, fy, 0.0) * m        # weight of row y0+1
 
         rel = y0 - rgrid  # bounded row shift of the y0 corner
-        # dynamic shift range: only displacements that actually occur in
-        # this block are visited (2-3 iterations in the near-zero-offset
-        # regime instead of 2*max_shift+5)
-        d_lo = jnp.min(rel)
-        d_hi = jnp.max(rel) + 1  # +1 covers the y0+1 corner
+        # dynamic shift range over the displacements whose corner weight is
+        # actually NONZERO in this block: integer vertical sampling
+        # (fy == 0 — e.g. the zero-initialized conv_offset_mask regime)
+        # needs only the y0 corner, so its taps run ONE shift instead of
+        # two; border-invalid corners, padded rows (m == 0), and masked-out
+        # pixels drop out the same way. Skipped shifts contribute exactly
+        # zero (yw == 0 elementwise), so this is bit-exact.
+        need0 = a0 > 0.0
+        need1 = a1 > 0.0
+        big = jnp.int32(32767)
+        lo_e = jnp.where(need0, rel, jnp.where(need1, rel + 1, big))
+        hi_e = jnp.where(need1, rel + 1, jnp.where(need0, rel, -big))
+        d_lo = jnp.min(lo_e)
+        d_hi = jnp.max(hi_e)  # inclusive
 
         def shift_body(d, s):
             yw = ((rel == d).astype(jnp.float32) * a0
@@ -605,10 +614,30 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
         )  # (R, W, Cin)
 
         rel = y0 - rgrid
-        d_lo = jnp.min(rel)
-        d_hi = jnp.max(rel) + 1
+        # shift range over rows with at least one VALID corner: unlike the
+        # forward, fy == 0 does NOT drop the y0+1 corner here (the
+        # coordinate gradient samples it regardless of its bilinear
+        # weight), so the bounds only shed border rows and the zero-padded
+        # block tail (whose y0 lies beyond h-1). Bit-exact: skipped shifts
+        # have all corner validities zero.
+        need0 = (val00 > 0) | (val01 > 0)
+        need1 = (val10 > 0) | (val11 > 0)
+        big = jnp.int32(32767)
+        lo_e = jnp.where(need0, rel, jnp.where(need1, rel + 1, big))
+        hi_e = jnp.where(need1, rel + 1, jnp.where(need0, rel, -big))
+        d_lo = jnp.min(lo_e)
+        d_hi = jnp.max(hi_e)  # inclusive
 
         s_acc[:] = jnp.zeros_like(s_acc)
+
+        # the x-corner one-hots are SHIFT-INDEPENDENT: build them once per
+        # tap and reuse across the d-loop for the select build and both
+        # corner reductions (the per-shift compare was ~4 of the ~10
+        # (R, W, W) VPU ops per iteration). Kept as booleans — the earlier
+        # negative result hoisted fully-built bf16 one-hot MATMUL operands,
+        # which Mosaic handled worse than compare+select (see note above).
+        p0 = x0c[:, None, :] == pos
+        p1 = x1c[:, None, :] == pos
 
         # corner coefficients, all (R, W): u-combine (c**), bilinear-weight
         # y/x-derivative combos (dy**, dxc**), and the modulated scatter
@@ -636,9 +665,9 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
             b_w = sel0 * w01s + sel1 * w11s
             # ONE one-hot select matrix with the modulated bilinear corner
             # weights folded in, shared by the dW column and the dx scatter
-            s_w = (jnp.where(x0c[:, None, :] == pos, a_w[:, None, :], 0.0)
-                   + jnp.where(x1c[:, None, :] == pos,
-                               b_w[:, None, :], 0.0)).astype(jnp.bfloat16)
+            s_w = (jnp.where(p0, a_w[:, None, :], 0.0)
+                   + jnp.where(p1, b_w[:, None, :], 0.0)
+                   ).astype(jnp.bfloat16)
             src = xt_ref[0, pl.ds(r0 + pad_rows + d, r_blk)]  # (R, Cin, W)
 
             # modulated column m*u for dW: s_acc += src @ s_w
@@ -663,10 +692,8 @@ def _dcn_bwd_params_kernel(xt_ref, off_ref, mask_ref, w_ref, g_ref,
                 src, gcol_b, (((1,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # (R, Wsrc, W)
-            e0 = jnp.sum(jnp.where(x0c[:, None, :] == pos, e_mat, 0.0),
-                         axis=1)
-            e1 = jnp.sum(jnp.where(x1c[:, None, :] == pos, e_mat, 0.0),
-                         axis=1)
+            e0 = jnp.sum(jnp.where(p0, e_mat, 0.0), axis=1)
+            e1 = jnp.sum(jnp.where(p1, e_mat, 0.0), axis=1)
             dmask_t = dmask_t + (sel0 * (c00 * e0 + c01 * e1)
                                  + sel1 * (c10 * e0 + c11 * e1))
             doffy_t = doffy_t + (sel0 * (dy00 * e0 + dy01 * e1)
@@ -955,8 +982,17 @@ def _sel_fwd_kernel(xp_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, *,
         w10 = jnp.where(v10, fy * (1 - fx) * m, 0.0)
         w11 = jnp.where(v11, fy * fx * m, 0.0)
 
-        d_lo = jnp.min(rel)
-        d_hi = jnp.max(rel) + 1
+        # shift range over NONZERO corner-row weights (see the lanes
+        # forward): integer vertical sampling (fy == 0) visits one shift
+        # per tap, and border/masked/padded pixels drop out. Bit-exact —
+        # skipped shifts have all-zero select rows.
+        need0 = (w00 > 0.0) | (w01 > 0.0)
+        need1 = (w10 > 0.0) | (w11 > 0.0)
+        big = jnp.int32(32767)
+        lo_e = jnp.where(need0, rel, jnp.where(need1, rel + 1, big))
+        hi_e = jnp.where(need1, rel + 1, jnp.where(need0, rel, -big))
+        d_lo = jnp.min(lo_e)
+        d_hi = jnp.max(hi_e)  # inclusive
 
         def shift_body(d, s):
             sel0 = (rel == d).astype(jnp.float32)
@@ -1113,9 +1149,20 @@ def _sel_bwd_kernel(xp_ref, off_ref, mask_ref, w_ref, g_ref,
         ).reshape(r_blk, w, cin)
         gcol_b = gcol.astype(jnp.bfloat16)
 
-        d_lo = jnp.min(rel)
-        d_hi = jnp.max(rel) + 1
+        # validity-based shift bounds + hoisted one-hots: see the lanes
+        # backward for the rationale (coords keep the fy == 0 corner, so
+        # only border/padded rows drop; the x one-hots are shift-
+        # independent booleans built once per tap)
+        need0 = val[0] | val[1]
+        need1 = val[2] | val[3]
+        big = jnp.int32(32767)
+        lo_e = jnp.where(need0, rel, jnp.where(need1, rel + 1, big))
+        hi_e = jnp.where(need1, rel + 1, jnp.where(need0, rel, -big))
+        d_lo = jnp.min(lo_e)
+        d_hi = jnp.max(hi_e)  # inclusive
         s_acc[:] = jnp.zeros_like(s_acc)
+        p0 = x0c[:, None, :] == pos
+        p1 = x1c[:, None, :] == pos
 
         def shift_body(d, carry):
             dmask_t, doffy_t, doffx_t = carry
@@ -1123,8 +1170,8 @@ def _sel_bwd_kernel(xp_ref, off_ref, mask_ref, w_ref, g_ref,
             sel1 = (rel + 1 == d).astype(jnp.float32)
             a_w = sel0 * w00s + sel1 * w10s
             b_w = sel0 * w01s + sel1 * w11s
-            s_m = (jnp.where(x0c[:, None, :] == pos, a_w[:, None, :], 0.0)
-                   + jnp.where(x1c[:, None, :] == pos, b_w[:, None, :], 0.0)
+            s_m = (jnp.where(p0, a_w[:, None, :], 0.0)
+                   + jnp.where(p1, b_w[:, None, :], 0.0)
                    ).astype(jnp.bfloat16)  # (R, Wsrc, Wdst)
             src = xp_ref[0, pl.ds(r0 + pad_rows + d, r_blk)]  # (R, Wsrc, C)
 
@@ -1149,10 +1196,8 @@ def _sel_bwd_kernel(xp_ref, off_ref, mask_ref, w_ref, g_ref,
                 src, gcol_b, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # (R, Wsrc, Wdst)
-            e0 = jnp.sum(jnp.where(x0c[:, None, :] == pos, e_mat, 0.0),
-                         axis=1)
-            e1 = jnp.sum(jnp.where(x1c[:, None, :] == pos, e_mat, 0.0),
-                         axis=1)
+            e0 = jnp.sum(jnp.where(p0, e_mat, 0.0), axis=1)
+            e1 = jnp.sum(jnp.where(p1, e_mat, 0.0), axis=1)
             dmask_t = dmask_t + (sel0 * (c00 * e0 + c01 * e1)
                                  + sel1 * (c10 * e0 + c11 * e1))
             doffy_t = doffy_t + (sel0 * (dy00 * e0 + dy01 * e1)

@@ -235,6 +235,57 @@ def _dcn_pallas_bwd(res, g):
 _dcn_pallas_op.defvjp(_dcn_pallas_fwd, _dcn_pallas_bwd)
 
 
+@jax.custom_vjp
+def _dcn_fused_op(x, om_kernel, om_bias, weight, bias):
+    """Fused-offset-conv DCNv2: the ``conv_offset_mask`` conv runs INSIDE
+    the Pallas kernels (both directions), so offsets/masks never touch HBM
+    (profiled at 8.2 ms/step as separate XLA convs). Returns
+    ``(out, max_abs_dy)`` — the stat feeds the clamp-saturation monitor
+    and carries no gradient."""
+    from centernet_uda_tpu.ops.dcn_pallas import dcn_v2_pallas_lanes_fused
+
+    return dcn_v2_pallas_lanes_fused(x, om_kernel, om_bias, weight, bias,
+                                     max_shift=PALLAS_MAX_SHIFT)
+
+
+def _dcn_fused_fwd(x, om_kernel, om_bias, weight, bias):
+    return _dcn_fused_op(x, om_kernel, om_bias, weight, bias), (
+        x, om_kernel, om_bias, weight, bias,
+    )
+
+
+def _dcn_fused_bwd(res, cts):
+    from centernet_uda_tpu.ops.dcn_pallas import dcn_v2_pallas_bwd_lanes_fused
+
+    x, om_kernel, om_bias, weight, bias = res
+    g, _g_stat = cts  # the monitor stat is stop_gradient'ed by the module
+    dx, dom_k, dom_b, dweight, dbias = dcn_v2_pallas_bwd_lanes_fused(
+        x, om_kernel, om_bias, weight, g, max_shift=PALLAS_MAX_SHIFT)
+    return (dx, dom_k, dom_b, dweight,
+            None if bias is None else dbias.astype(bias.dtype))
+
+
+_dcn_fused_op.defvjp(_dcn_fused_fwd, _dcn_fused_bwd)
+
+
+def _fused_supported(x, cin: int, cout: int, kernel_size, stride, padding,
+                     dilation) -> bool:
+    """The fused-offset-conv path: lanes generation, native width, bf16
+    input (the in-kernel conv reads the bf16-staged x — float32 runs keep
+    the exact unfused path), default 3x3 geometry."""
+    from centernet_uda_tpu.ops import dcn_pallas
+
+    return (
+        x.dtype == jnp.bfloat16
+        and _pair(kernel_size) == (3, 3)
+        and _pair(stride) == (1, 1)
+        and _pair(padding) == (1, 1)
+        and _pair(dilation) == (1, 1)
+        and dcn_pallas.generation_for(x.shape) == "lanes"
+        and 8 <= x.shape[2] <= 128
+    )
+
+
 def dcn_v2(
     x: jax.Array,
     offset: jax.Array,
@@ -351,6 +402,24 @@ def deform_sample(
     return val.reshape(b, ho * wo, k, cin)
 
 
+class _OffsetMaskParams(nn.Module):
+    """Parameter container matching ``nn.Conv(name="conv_offset_mask")``'s
+    pytree exactly (``kernel``/``bias`` under the same scope name), so
+    checkpoints and the torch import shims are unchanged while the conv
+    itself can run either as an explicit XLA conv or fused inside the
+    Pallas DCN kernels."""
+
+    kernel_shape: Tuple[int, int, int, int]
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.zeros,
+                            self.kernel_shape)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.kernel_shape[-1],))
+        return kernel, bias
+
+
 class DCN(nn.Module):
     """Deformable conv module with learned offset+mask head.
 
@@ -359,6 +428,12 @@ class DCN(nn.Module):
     (o1, o2, mask-logits); ``offset = concat(o1, o2)`` reproduces the
     reference channel layout, mask goes through a sigmoid. Weight init is
     uniform(-s, s) with s = 1/sqrt(Cin*kh*kw) (:77-83), bias zero.
+
+    On the Pallas lanes fast path with bfloat16 inputs, the offset conv is
+    FUSED into the DCN kernels (``_dcn_fused_op``): offsets/masks are
+    computed from the kernel-resident x and never round-trip HBM in either
+    direction. Other configurations compute the conv explicitly (same
+    arithmetic as ``nn.Conv`` at the module dtype).
     """
 
     features: int
@@ -377,21 +452,8 @@ class DCN(nn.Module):
         k = kh * kw
         cin = x.shape[-1]
 
-        out = nn.Conv(
-            3 * k,
-            (kh, kw),
-            strides=(self.stride, self.stride),
-            padding=[(self.padding, self.padding)] * 2,
-            kernel_dilation=(self.dilation, self.dilation),
-            use_bias=True,
-            kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            name="conv_offset_mask",
-        )(x)
-        o1, o2, m = jnp.split(out, 3, axis=-1)
-        offset = jnp.concatenate([o1, o2], axis=-1)
-        mask = jax.nn.sigmoid(m)
+        om_kernel, om_bias = _OffsetMaskParams(
+            (kh, kw, cin, 3 * k), name="conv_offset_mask")()
 
         stdv = 1.0 / math.sqrt(cin * kh * kw)
 
@@ -401,13 +463,39 @@ class DCN(nn.Module):
         weight = self.param("weight", _uniform_sym, (kh, kw, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
-        # Rematerialize the gather+column tensor in the backward pass instead
-        # of storing it: the (B, HoWo, K*Cin) columns are ~0.5 GB per layer at
-        # 512px and the CUDA reference likewise recomputes im2col in its
-        # backward (src/cuda/dcn_v2_cuda.cu:316-320). Trades cheap VPU gather
-        # FLOPs for HBM.
         use_pallas = (self.use_pallas if self.use_pallas is not None
                       else _PALLAS_DEFAULT)
+        if (use_pallas
+                and _pallas_supported(
+                    x, jnp.zeros((kh, kw, cin, self.features)),
+                    self.stride, self.padding, self.dilation)
+                and _fused_supported(x, cin, self.features, self.kernel_size,
+                                     self.stride, self.padding,
+                                     self.dilation)):
+            out, stat = _dcn_fused_op(
+                x.astype(self.dtype), om_kernel, om_bias,
+                weight.astype(self.dtype), bias)
+            # same clamp-saturation monitor as the unfused path; the stat
+            # comes out of the kernel (offsets are never materialized)
+            self.sow("intermediates", "max_abs_dy",
+                     jax.lax.stop_gradient(stat))
+            return out
+
+        # explicit offset conv — the same arithmetic nn.Conv performs at
+        # the module dtype (promote to self.dtype, conv, bias add)
+        xq = x.astype(self.dtype)
+        om = jax.lax.conv_general_dilated(
+            xq, om_kernel.astype(self.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        om = om + om_bias.astype(self.dtype)
+        o1, o2, m = jnp.split(om, 3, axis=-1)
+        offset = jnp.concatenate([o1, o2], axis=-1)
+        mask = jax.nn.sigmoid(m)
+
         pallas_active = use_pallas and _pallas_supported(
             x, jnp.zeros((kh, kw, cin, self.features)),
             self.stride, self.padding, self.dilation)

@@ -868,6 +868,527 @@ def dcn_v2_pallas_bwd_lanes(
     return dx, doff, dmask, dweight, dbias
 
 
+# ---------------------------------------------------------------------------
+# fused-offset-conv lanes generation
+# ---------------------------------------------------------------------------
+# The reference computes offsets/mask with a plain 3x3 conv over the SAME
+# input the deformable conv samples (libs/DCNv2/dcn_v2.py:104-121). As a
+# separate XLA conv that costs a second full read of x, a 27-channel f32
+# HBM round-trip, channel-major staging transposes, and (27 < the 128-lane
+# tile) ~21% MXU utilization — profiled at 8.2 ms of a 112 ms DLA train
+# step across the neck's DCN layers. These kernels compute the offset conv
+# IN-KERNEL from the already-resident W-on-lanes x (9 tiny (Cin, 27)
+# matmuls + 2 one-hot lane-shift matmuls per row block), and the fused
+# backward consumes d(offset)/d(mask) in-kernel, emitting dW_om / db_om /
+# the offset-conv dx contribution directly — offsets and masks never touch
+# HBM in either direction. The tap loops MIRROR _dcn_kernel /
+# _dcn_bwd_params_kernel (keep them in sync when editing either).
+#
+# Scope: the lanes generation's native envelope only (W <= 128, Cin <= 512,
+# 3x3 / s1 / p1 / d1); the module routes here for bfloat16 inputs (the
+# in-kernel conv reads the bf16-staged x, so a float32 run keeps the exact
+# unfused path). The vertical-offset clamp and all sampling semantics are
+# identical to the unfused lanes kernels.
+
+
+def _lane_edge_masks(wl: int, w_img: int):
+    """(1, 1, W) float32 masks zeroing the lanes whose ±1 horizontal
+    neighbor lies outside the (packed) image — the offset conv's zero
+    padding, applied after a wrap-around ``pltpu.roll``. ``m_first`` kills
+    values rolled INTO each image's first lane, ``m_last`` its last."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wl), 2)
+    if wl == w_img:
+        col = lane
+    else:
+        seg = jnp.floor((lane.astype(jnp.float32) + 0.5) * (1.0 / w_img)
+                        ).astype(jnp.int32)
+        col = lane - seg * w_img
+    m_first = (col != 0).astype(jnp.float32)
+    m_last = (col != w_img - 1).astype(jnp.float32)
+    return m_first, m_last
+
+
+def _om_block(xt_ref, omw_b, omb, r0, pad_rows, r_blk, cin, w, w_img):
+    """The 3x3 offset conv for rows [r0, r0 + R) from the resident padded
+    x: om[r, c, w'] = sum_taps W_om[t][cin, c] x[r + ti - 1, cin, w' + tj - 1]
+    + b[c], computed as 9 R-batched (Cin, 27) MXU matmuls with the
+    horizontal taps resolved by lane rolls + edge masks. Returns
+    (R, 27, W) float32 (f32 accumulation of bf16 operands — the same
+    arithmetic class as the XLA bf16 conv it replaces, without its
+    output rounding)."""
+    m_first, m_last = _lane_edge_masks(w, w_img)
+    z = []
+    for tj in range(3):
+        acc = jnp.zeros((r_blk, 27, w), jnp.float32)
+        for ti in range(3):
+            srcr = xt_ref[0, pl.ds(r0 + pad_rows + ti - 1, r_blk)]
+            wr = jnp.broadcast_to(omw_b[3 * ti + tj], (r_blk, cin, 27))
+            acc = acc + jax.lax.dot_general(
+                wr, srcr, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # (R, 27, W)
+        z.append(acc)
+    om = (z[1]
+          + pltpu.roll(z[0], 1, 2) * m_first
+          # pltpu.roll requires a non-negative shift: -1 == w - 1
+          + pltpu.roll(z[2], w - 1, 2) * m_last)
+    return om + omb.reshape(1, 27, 1)
+
+
+def _dcn_fused_kernel(xt_ref, omw_ref, omb_ref, w_ref, b_ref,
+                      out_ref, stat_ref, *,
+                      h: int, w: int, w_img: int, cin: int, cout: int,
+                      pad_rows: int, max_shift: int, row_block: int):
+    """Forward with the in-kernel offset conv. Tap loop mirrors
+    ``_dcn_kernel`` (non-panel path); ``stat_ref`` (1, 1) receives this
+    block's max |dy| so training can monitor clamp saturation without the
+    offsets ever existing in HBM."""
+    r_blk = row_block
+    r0 = pl.program_id(1) * r_blk
+    dmin, dmax = -max_shift - 2, max_shift + 2
+
+    omw_b = omw_ref[...].astype(jnp.bfloat16)  # (9, Cin, 27)
+    om = _om_block(xt_ref, omw_b, omb_ref[...], r0, pad_rows, r_blk,
+                   cin, w, w_img)
+
+    out_acc = jnp.zeros((r_blk, w, cout), jnp.float32)
+    rgrid = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 0) + r0
+    pos = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w, w), 1)
+    posf = pos.astype(jnp.float32)
+    jgrid, seg_base = _seg_grids(r_blk, w, w_img)
+    if seg_base is not None:
+        posf = jnp.where((pos >= seg_base[:, None, :])
+                         & (pos < seg_base[:, None, :] + w_img),
+                         posf, 1e9)
+
+    stat = jnp.zeros((), jnp.float32)
+    for t in range(9):
+        ti, tj = t // 3, t % 3
+        # channel mapping follows the reference's concat(o1, o2) +
+        # interleaved CUDA read (libs/DCNv2/dcn_v2.py:108-112 feeding
+        # dcn_v2_im2col_cuda.cu:150-160): tap t reads dy at channel 2t,
+        # dx at 2t+1 — o1/o2 are NOT per-kind blocks at the kernel level
+        off_y_raw = om[:, 2 * t]
+        stat = jnp.maximum(stat, jnp.max(jnp.abs(off_y_raw)))
+        off_y = jnp.clip(off_y_raw, -max_shift, max_shift)
+        off_x = om[:, 2 * t + 1]
+        m = jax.nn.sigmoid(om[:, 18 + t])
+
+        py = rgrid.astype(jnp.float32) + (ti - 1) + off_y
+        px = jgrid.astype(jnp.float32) + (tj - 1) + off_x
+        if seg_base is not None:
+            px = px + seg_base.astype(jnp.float32)
+
+        y0f = jnp.floor(py)
+        fy = py - y0f
+        y0 = y0f.astype(jnp.int32)
+        vy0 = (y0 >= 0) & (y0 <= h - 1)
+        vy1 = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)
+
+        hat = jnp.maximum(1.0 - jnp.abs(px[:, None, :] - posf), 0.0
+                          ).astype(jnp.bfloat16)
+
+        a0 = jnp.where(vy0, (1 - fy), 0.0) * m
+        a1 = jnp.where(vy1, fy, 0.0) * m
+
+        rel = y0 - rgrid
+        need0 = a0 > 0.0
+        need1 = a1 > 0.0
+        big = jnp.int32(32767)
+        lo_e = jnp.where(need0, rel, jnp.where(need1, rel + 1, big))
+        hi_e = jnp.where(need1, rel + 1, jnp.where(need0, rel, -big))
+        d_lo = jnp.min(lo_e)
+        d_hi = jnp.max(hi_e)
+
+        def shift_body(d, s):
+            yw = ((rel == d).astype(jnp.float32) * a0
+                  + (rel + 1 == d).astype(jnp.float32) * a1)
+            src = xt_ref[0, pl.ds(r0 + pad_rows + d, r_blk)]
+            hsrc = jax.lax.dot_general(
+                src, hat, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # (R, Cin, W)
+            return s + hsrc * yw[:, None, :]
+
+        s = jax.lax.fori_loop(
+            jnp.maximum(d_lo, dmin), jnp.minimum(d_hi, dmax) + 1, shift_body,
+            jnp.zeros((r_blk, cin, w), jnp.float32),
+        )
+
+        out_acc = out_acc + jax.lax.dot_general(
+            s.astype(jnp.bfloat16),
+            w_ref[t].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    out_ref[0] = (out_acc + b_ref[0][None, None, :]).astype(out_ref.dtype)
+    stat_ref[0, 0] = stat
+
+
+@functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
+def dcn_v2_pallas_lanes_fused(
+    x: jax.Array,
+    om_kernel: jax.Array,
+    om_bias: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array | None = None,
+    max_shift: int = 14,
+    interpret: bool = False,
+):
+    """Fused-offset-conv lanes forward: x (B,H,W,Cin) NHWC, om_kernel
+    (3,3,Cin,27) HWIO (the reference ``conv_offset_mask`` layout: channels
+    = 9 dy, 9 dx, 9 mask logits), om_bias (27,), weight (3,3,Cin,Cout).
+    Returns ``(out (B,H,W,Cout) in x.dtype, max_abs_dy scalar f32)``."""
+    b, h, w, cin = x.shape
+    kh, kw, _, cout = weight.shape
+    assert (kh, kw) == (3, 3), "pallas DCN kernel is 3x3 only"
+    assert om_kernel.shape == (3, 3, cin, 27)
+    assert w <= 128, "fused lanes kernel is native-width only"
+
+    pad_rows = max_shift + 2
+    r_blk = _row_block(h, cin)
+    h_pad = -(-h // r_blk) * r_blk
+    extra = h_pad - h
+
+    pk = _pack_factor(b, w)
+    w_img, wl, bp = w, pk * w, b // pk
+    xq = _pack_w(x, pk)
+
+    xt = jnp.pad(
+        xq.astype(jnp.bfloat16),
+        ((0, 0), (pad_rows, pad_rows + extra), (0, 0), (0, 0)),
+    ).transpose(0, 1, 3, 2)
+    omw = om_kernel.reshape(9, cin, 27).astype(jnp.float32)
+    omb = om_bias.astype(jnp.float32).reshape(27, 1)
+    w_taps = weight.reshape(9, cin, cout).astype(jnp.float32)
+    bias_in = (bias if bias is not None
+               else jnp.zeros((cout,), jnp.float32)).reshape(1, cout)
+
+    kernel = functools.partial(
+        _dcn_fused_kernel, h=h, w=wl, w_img=w_img, cin=cin, cout=cout,
+        pad_rows=pad_rows, max_shift=max_shift, row_block=r_blk,
+    )
+    n_rb = h_pad // r_blk
+    out, stat = pl.pallas_call(
+        kernel,
+        grid=(bp, n_rb),
+        in_specs=[
+            pl.BlockSpec((1, h_pad + 2 * pad_rows, cin, wl),
+                         lambda i, r: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, cin, 27), lambda i, r: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((27, 1), lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, cin, cout), lambda i, r: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, r_blk, wl, cout), lambda i, r: (i, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, r: (i, r),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, h_pad, wl, cout), x.dtype),
+            jax.ShapeDtypeStruct((bp, n_rb), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xt, omw, omb, w_taps, bias_in)
+    return _unpack_w(out, pk)[:, :h], jnp.max(stat)
+
+
+def _dcn_fused_bwd_kernel(xt_ref, omw_ref, omb_ref, w_ref, g_ref,
+                          dw_out_ref, dxp_ref, dwom_ref, dbom_ref,
+                          dw_acc, s_acc, dx_acc, dz_acc, dwom_acc, dbom_acc,
+                          *,
+                          h: int, w: int, w_img: int, cin: int, cout: int,
+                          pad_rows: int, max_shift: int, row_block: int):
+    """Backward with the in-kernel offset conv: recomputes om, runs the
+    ``_dcn_bwd_params_kernel`` tap loop (keep in sync) writing the
+    per-pixel d(offset)/d(mask-logit) into a (27, R, W) scratch instead of
+    HBM, then applies the offset conv's OWN backward in-kernel: db_om,
+    per-tap dW_om (lane-shifted dz contractions), and the dx contribution
+    ``conv_transpose(dz, W_om)`` accumulated into the same whole-image dx
+    scratch the sampling gradient uses."""
+    r_blk = row_block
+    rb = pl.program_id(1)
+    n_rb = pl.num_programs(1)
+    r0 = rb * r_blk
+
+    @pl.when(rb == 0)
+    def _init():
+        dw_acc[:] = jnp.zeros_like(dw_acc)
+        dx_acc[:] = jnp.zeros_like(dx_acc)
+        dwom_acc[:] = jnp.zeros_like(dwom_acc)
+        dbom_acc[:] = jnp.zeros_like(dbom_acc)
+
+    omw_b = omw_ref[...].astype(jnp.bfloat16)
+    om = _om_block(xt_ref, omw_b, omb_ref[...], r0, pad_rows, r_blk,
+                   cin, w, w_img)
+
+    rgrid = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 0) + r0
+    jgrid, seg_base = _seg_grids(r_blk, w, w_img)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w, w), 1)
+    g_blk = g_ref[0]  # (R, W, Cout)
+
+    for t in range(9):
+        ti, tj = t // 3, t % 3
+        # channel mapping: see _dcn_fused_kernel — dy at 2t, dx at 2t+1
+        off_y_raw = om[:, 2 * t]
+        off_y = jnp.clip(off_y_raw, -max_shift, max_shift)
+        off_x = om[:, 2 * t + 1]
+        m = jax.nn.sigmoid(om[:, 18 + t])
+
+        py = rgrid.astype(jnp.float32) + (ti - 1) + off_y
+        px = jgrid.astype(jnp.float32) + (tj - 1) + off_x
+        y0f = jnp.floor(py)
+        x0f = jnp.floor(px)
+        fy = py - y0f
+        fx = px - x0f
+        y0 = y0f.astype(jnp.int32)
+        x0 = x0f.astype(jnp.int32)
+
+        val00 = ((y0 >= 0) & (y0 <= h - 1) & (x0 >= 0) & (x0 <= w_img - 1)
+                 ).astype(jnp.float32)
+        val01 = ((y0 >= 0) & (y0 <= h - 1) & (x0 + 1 >= 0)
+                 & (x0 + 1 <= w_img - 1)).astype(jnp.float32)
+        val10 = ((y0 + 1 >= 0) & (y0 + 1 <= h - 1) & (x0 >= 0)
+                 & (x0 <= w_img - 1)).astype(jnp.float32)
+        val11 = ((y0 + 1 >= 0) & (y0 + 1 <= h - 1) & (x0 + 1 >= 0)
+                 & (x0 + 1 <= w_img - 1)).astype(jnp.float32)
+
+        x0c = jnp.clip(x0, 0, w_img - 1)
+        x1c = jnp.clip(x0 + 1, 0, w_img - 1)
+        if seg_base is not None:
+            x0c = x0c + seg_base
+            x1c = x1c + seg_base
+
+        gcol = jax.lax.dot_general(
+            g_blk.astype(jnp.bfloat16), w_ref[t].astype(jnp.bfloat16),
+            (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (R, W, Cin)
+
+        rel = y0 - rgrid
+        need0 = (val00 > 0) | (val01 > 0)
+        need1 = (val10 > 0) | (val11 > 0)
+        big = jnp.int32(32767)
+        lo_e = jnp.where(need0, rel, jnp.where(need1, rel + 1, big))
+        hi_e = jnp.where(need1, rel + 1, jnp.where(need0, rel, -big))
+        d_lo = jnp.min(lo_e)
+        d_hi = jnp.max(hi_e)
+
+        s_acc[:] = jnp.zeros_like(s_acc)
+        p0 = x0c[:, None, :] == pos
+        p1 = x1c[:, None, :] == pos
+
+        c00 = val00 * (1 - fy) * (1 - fx)
+        c01 = val01 * (1 - fy) * fx
+        c10 = val10 * fy * (1 - fx)
+        c11 = val11 * fy * fx
+        dy00 = -val00 * (1 - fx)
+        dy01 = -val01 * fx
+        dy10 = val10 * (1 - fx)
+        dy11 = val11 * fx
+        dxc00 = -val00 * (1 - fy)
+        dxc01 = val01 * (1 - fy)
+        dxc10 = -val10 * fy
+        dxc11 = val11 * fy
+        w00s, w01s, w10s, w11s = m * c00, m * c01, m * c10, m * c11
+        gcol_b = gcol.astype(jnp.bfloat16)
+
+        def shift_body(d, carry):
+            dmask_t, doffy_t, doffx_t = carry
+            sel0 = (rel == d).astype(jnp.float32)
+            sel1 = (rel + 1 == d).astype(jnp.float32)
+            a_w = sel0 * w00s + sel1 * w10s
+            b_w = sel0 * w01s + sel1 * w11s
+            s_w = (jnp.where(p0, a_w[:, None, :], 0.0)
+                   + jnp.where(p1, b_w[:, None, :], 0.0)
+                   ).astype(jnp.bfloat16)
+            src = xt_ref[0, pl.ds(r0 + pad_rows + d, r_blk)]  # (R, Cin, W)
+
+            s_acc[:] = s_acc[:] + jax.lax.dot_general(
+                src, s_w, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+
+            contrib = jax.lax.dot_general(
+                s_w, gcol_b, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (R, Wpos, Cin)
+            row = r0 + pad_rows + d
+            dx_acc[pl.ds(row, r_blk)] = (
+                dx_acc[pl.ds(row, r_blk)] + contrib)
+
+            e_mat = jax.lax.dot_general(
+                src, gcol_b, (((1,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (R, Wsrc, W)
+            e0 = jnp.sum(jnp.where(p0, e_mat, 0.0), axis=1)
+            e1 = jnp.sum(jnp.where(p1, e_mat, 0.0), axis=1)
+            dmask_t = dmask_t + (sel0 * (c00 * e0 + c01 * e1)
+                                 + sel1 * (c10 * e0 + c11 * e1))
+            doffy_t = doffy_t + (sel0 * (dy00 * e0 + dy01 * e1)
+                                 + sel1 * (dy10 * e0 + dy11 * e1))
+            doffx_t = doffx_t + (sel0 * (dxc00 * e0 + dxc01 * e1)
+                                 + sel1 * (dxc10 * e0 + dxc11 * e1))
+            return dmask_t, doffy_t, doffx_t
+
+        zero_rw = jnp.zeros((r_blk, w), jnp.float32)
+        dmask_t, doffy_t, doffx_t = jax.lax.fori_loop(
+            jnp.maximum(d_lo, -max_shift - 2),
+            jnp.minimum(d_hi, max_shift + 2) + 1,
+            shift_body, (zero_rw, zero_rw, zero_rw))
+
+        dw_r = jax.lax.dot_general(
+            s_acc[:].astype(jnp.bfloat16), g_blk.astype(jnp.bfloat16),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (R, Cin, Cout)
+        dw_acc[t] = dw_acc[t] + jnp.sum(dw_r, axis=0)
+
+        # d(om): same gating as the unfused outputs (clamped dy rows get
+        # zero; the mask row carries the sigmoid derivative); channel
+        # mapping mirrors the forward read — dy at 2t, dx at 2t+1
+        dz_acc[2 * t] = jnp.where(jnp.abs(off_y_raw) < max_shift,
+                                  m * doffy_t, 0.0)
+        dz_acc[2 * t + 1] = m * doffx_t
+        dz_acc[18 + t] = dmask_t * m * (1.0 - m)
+
+    # ---- offset conv backward, consuming dz in-kernel -------------------
+    dz = dz_acc[:]
+    dbom_acc[0] = dbom_acc[0] + jnp.sum(dz, axis=(1, 2))
+    m_first, m_last = _lane_edge_masks(w, w_img)
+    # dzs[tj][c, r, w] = dz[c, r, w - (tj - 1)] — adjoint of the forward's
+    # lane rolls (roll directions and edge masks swap roles); the mask
+    # shapes broadcast over the leading (27,) dim
+    dzs = (
+        (pltpu.roll(dz, w - 1, 2) * m_last[0]).astype(jnp.bfloat16),
+        dz.astype(jnp.bfloat16),
+        (pltpu.roll(dz, 1, 2) * m_first[0]).astype(jnp.bfloat16),
+    )
+    for t in range(9):
+        ti, tj = t // 3, t % 3
+        src = xt_ref[0, pl.ds(r0 + pad_rows + ti - 1, r_blk)]  # (R, Cin, W)
+        dzs_t = dzs[tj]  # (27, R, W)
+        # dW_om[t][cin, c] = sum_{r,w} src[r, cin, w] dzs_t[c, r, w]
+        dws = jax.lax.dot_general(
+            src, dzs_t, (((2,), (2,)), ((0,), (1,))),
+            preferred_element_type=jnp.float32)  # (R, Cin, 27)
+        dwom_acc[t] = dwom_acc[t] + jnp.sum(dws, axis=0)
+        # dx[r + ti - 1, w, cin] += sum_c W_om[t][cin, c] dzs_t[c, r, w]
+        u = jax.lax.dot_general(
+            dzs_t, omw_b[t], (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (R, W, Cin)
+        row = r0 + pad_rows + ti - 1
+        dx_acc[pl.ds(row, r_blk)] = dx_acc[pl.ds(row, r_blk)] + u
+
+    @pl.when(rb == n_rb - 1)
+    def _finalize():
+        dw_out_ref[0] = dw_acc[:]
+        dxp_ref[0] = dx_acc[:].astype(dxp_ref.dtype)
+        dwom_ref[0] = dwom_acc[:]
+        dbom_ref[0] = dbom_acc[:]
+
+
+@functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
+def dcn_v2_pallas_bwd_lanes_fused(
+    x: jax.Array,
+    om_kernel: jax.Array,
+    om_bias: jax.Array,
+    weight: jax.Array,
+    g: jax.Array,
+    max_shift: int = 14,
+    interpret: bool = False,
+):
+    """Gradients of ``dcn_v2_pallas_lanes_fused`` w.r.t.
+    (x, om_kernel, om_bias, weight, bias) — the sampling gradients AND the
+    offset conv's backward in one kernel; offsets/masks never exist in
+    HBM. The stat output has no gradient (monitor only)."""
+    b, h, w, cin = x.shape
+    cout = weight.shape[3]
+    pad_rows = max_shift + 2
+    r_blk = _row_block(h, max(cin, cout))
+    h_pad = -(-h // r_blk) * r_blk
+    extra = h_pad - h
+
+    pk = _pack_factor(b, w)
+    w_img, wl, bp = w, pk * w, b // pk
+    xq = _pack_w(x, pk)
+    gq = _pack_w(g, pk)
+
+    xt = jnp.pad(
+        xq.astype(jnp.bfloat16),
+        ((0, 0), (pad_rows, pad_rows + extra), (0, 0), (0, 0)),
+    ).transpose(0, 1, 3, 2)
+    omw = om_kernel.reshape(9, cin, 27).astype(jnp.float32)
+    omb = om_bias.astype(jnp.float32).reshape(27, 1)
+    w_taps = weight.reshape(9, cin, cout).astype(jnp.float32)
+    gq = gq if gq.dtype == jnp.bfloat16 else gq.astype(jnp.float32)
+    g_blk_in = jnp.pad(gq, ((0, 0), (0, extra), (0, 0), (0, 0)))
+
+    kernel = functools.partial(
+        _dcn_fused_bwd_kernel, h=h, w=wl, w_img=w_img, cin=cin, cout=cout,
+        pad_rows=pad_rows, max_shift=max_shift, row_block=r_blk,
+    )
+    hp2 = h_pad + 2 * pad_rows
+    dw_b, dx_full, dwom_b, dbom_b = pl.pallas_call(
+        kernel,
+        grid=(bp, h_pad // r_blk),
+        in_specs=[
+            pl.BlockSpec((1, hp2, cin, wl), lambda i, r: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, cin, 27), lambda i, r: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((27, 1), lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, cin, cout), lambda i, r: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_blk, wl, cout), lambda i, r: (i, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 9, cin, cout), lambda i, r: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp2, wl, cin), lambda i, r: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9, cin, 27), lambda i, r: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 27), lambda i, r: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, 9, cin, cout), jnp.float32),
+            jax.ShapeDtypeStruct((bp, hp2, wl, cin), x.dtype),
+            jax.ShapeDtypeStruct((bp, 9, cin, 27), jnp.float32),
+            jax.ShapeDtypeStruct((bp, 1, 27), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((9, cin, cout), jnp.float32),
+            pltpu.VMEM((r_blk, cin, wl), jnp.float32),
+            pltpu.VMEM((hp2, wl, cin), jnp.float32),
+            pltpu.VMEM((27, r_blk, wl), jnp.float32),
+            pltpu.VMEM((9, cin, 27), jnp.float32),
+            pltpu.VMEM((1, 27), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xt, omw, omb, w_taps, g_blk_in)
+
+    dx_t = dx_full[:, pad_rows:pad_rows + h_pad]
+    dx = _unpack_w(dx_t, pk)[:, :h].astype(x.dtype)
+    dweight = dw_b.sum(axis=0).reshape(3, 3, cin, cout).astype(weight.dtype)
+    dom_k = dwom_b.sum(axis=0).reshape(3, 3, cin, 27
+                                       ).astype(om_kernel.dtype)
+    dom_b = dbom_b.sum(axis=(0, 1)).astype(om_bias.dtype)
+    dbias = g_blk_in[:, :h].astype(jnp.float32).sum(axis=(0, 1, 2))
+    return dx, dom_k, dom_b, dweight, dbias
+
+
 # ===========================================================================
 # NHWC one-hot "select" kernels ("select" generation — round 3)
 # ===========================================================================

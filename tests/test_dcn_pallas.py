@@ -260,3 +260,184 @@ def test_non_divisible_height(rng, kver):
     grads = dcn_v2_pallas_bwd(x, off, m, wgt, g, interpret=True)
     _, vjp = jax.vjp(xla_clamped(kver), x, off, m, wgt, bias)
     assert_grads_close(grads, vjp(g))
+
+
+# ---------------------------------------------------------------------------
+# fused-offset-conv lanes kernels
+# ---------------------------------------------------------------------------
+
+
+def _om_composition(x, om_k, om_b):
+    """The explicit offset-conv composition the fused kernel replaces
+    (float32 conv; the kernel's bf16 partials are covered by tolerances)."""
+    om = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), om_k, (1, 1), [(1, 1)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + om_b
+    o1, o2, mlog = jnp.split(om, 3, axis=-1)
+    return jnp.concatenate([o1, o2], axis=-1), jax.nn.sigmoid(mlog)
+
+
+def _fused_inputs(rng, b=2, h=16, w=16, cin=8, cout=8, dy_bias=0.4):
+    """om params crafted so offsets sit AWAY from integer crossings: the
+    kernel computes the conv from the bf16-staged x while the reference
+    uses f32, so offsets near floor boundaries would flip bilinear
+    branches and make pointwise gradient comparison meaningless."""
+    x = jnp.asarray(rng.randn(b, h, w, cin).astype(np.float32),
+                    jnp.bfloat16)
+    om_k = jnp.asarray((rng.randn(3, 3, cin, 27) * 1e-3).astype(np.float32))
+    om_b = np.zeros(27, np.float32)
+    om_b[:18] = dy_bias + rng.rand(18) * 0.2  # fy/fx in ~[0.4, 0.6]
+    om_b[18:] = rng.randn(9) * 0.5
+    om_b = jnp.asarray(om_b)
+    wgt = jnp.asarray((rng.randn(3, 3, cin, cout) * 0.1).astype(np.float32),
+                      jnp.bfloat16)
+    bias = jnp.asarray(rng.randn(cout).astype(np.float32))
+    return x, om_k, om_b, wgt, bias
+
+
+def test_fused_forward_matches_composition(rng):
+    from centernet_uda_tpu.ops.dcn_pallas import dcn_v2_pallas_lanes_fused
+
+    x, om_k, om_b, wgt, bias = _fused_inputs(rng)
+    out, stat = dcn_v2_pallas_lanes_fused(x, om_k, om_b, wgt, bias,
+                                          interpret=True)
+    offset, mask = _om_composition(x, om_k, om_b)
+    want = np.asarray(dcn_v2(x.astype(jnp.float32), offset, mask,
+                             wgt.astype(jnp.float32), bias))
+    np.testing.assert_allclose(np.asarray(out, np.float32), want,
+                               atol=8e-2, rtol=8e-2)
+    # the monitor stat is the max |dy| over the batch (interleaved read:
+    # dy lives at the even offset channels, like the module's monitor)
+    want_stat = float(jnp.max(jnp.abs(offset[..., 0::2])))
+    assert float(stat) == pytest.approx(want_stat, rel=2e-2)
+
+
+def test_fused_forward_zero_init_is_masked_conv(rng):
+    """Zero-initialized offset conv (the reference's init,
+    libs/DCNv2/dcn_v2.py:119-121): offsets 0, mask sigmoid(0)=0.5 — the
+    fused op must equal 0.5x the plain conv."""
+    from centernet_uda_tpu.ops.dcn_pallas import dcn_v2_pallas_lanes_fused
+
+    b, h, w, cin, cout = 2, 16, 16, 8, 8
+    x = jnp.asarray(rng.randn(b, h, w, cin).astype(np.float32),
+                    jnp.bfloat16)
+    wgt = jnp.asarray((rng.randn(3, 3, cin, cout) * 0.1).astype(np.float32),
+                      jnp.bfloat16)
+    bias = jnp.asarray(rng.randn(cout).astype(np.float32))
+    om_k = jnp.zeros((3, 3, cin, 27), jnp.float32)
+    om_b = jnp.zeros((27,), jnp.float32)
+    out, stat = dcn_v2_pallas_lanes_fused(x, om_k, om_b, wgt, bias,
+                                          interpret=True)
+    want = 0.5 * np.asarray(jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), wgt.astype(jnp.float32), (1, 1),
+        [(1, 1)] * 2, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ) + np.asarray(bias)  # bias is NOT modulated — it adds after the taps
+    np.testing.assert_allclose(np.asarray(out, np.float32), want,
+                               atol=5e-2, rtol=5e-2)
+    assert float(stat) == 0.0
+
+
+def test_fused_backward_matches_composition(rng):
+    """All five gradients of the fused op vs jax.vjp through the explicit
+    composition (f32 offset conv -> clamped XLA dcn_v2)."""
+    from centernet_uda_tpu.ops.dcn_pallas import dcn_v2_pallas_bwd_lanes_fused
+
+    x, om_k, om_b, wgt, bias = _fused_inputs(rng)
+    g = jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32))
+
+    got = dcn_v2_pallas_bwd_lanes_fused(x, om_k, om_b, wgt, g,
+                                        interpret=True)
+    assert all(np.isfinite(np.asarray(gr)).all() for gr in got)
+
+    def ref(x, om_k, om_b, wgt, bias):
+        offset, mask = _om_composition(x, om_k, om_b)
+        return xla_clamped("lanes")(x.astype(jnp.float32), offset, mask,
+                                    wgt.astype(jnp.float32), bias)
+
+    _, vjp = jax.vjp(ref, x, om_k, om_b, wgt, bias)
+    want = vjp(g)
+    assert_grads_close(got, want,
+                       names=("dx", "dom_kernel", "dom_bias", "dw", "db"))
+
+
+def test_fused_backward_lane_packed(rng):
+    """Lane-packed small maps (pk > 1): the in-kernel offset conv must not
+    leak across packed image boundaries in either direction."""
+    from centernet_uda_tpu.ops.dcn_pallas import (
+        _pack_factor, dcn_v2_pallas_bwd_lanes_fused,
+        dcn_v2_pallas_lanes_fused)
+
+    b, h, w, cin, cout = 4, 8, 20, 8, 8
+    assert _pack_factor(b, w) > 1
+    x, om_k, om_b, wgt, bias = _fused_inputs(rng, b=b, h=h, w=w,
+                                             cin=cin, cout=cout)
+    out, _ = dcn_v2_pallas_lanes_fused(x, om_k, om_b, wgt, bias,
+                                       interpret=True)
+    offset, mask = _om_composition(x, om_k, om_b)
+    want = np.asarray(dcn_v2(x.astype(jnp.float32), offset, mask,
+                             wgt.astype(jnp.float32), bias))
+    np.testing.assert_allclose(np.asarray(out, np.float32), want,
+                               atol=8e-2, rtol=8e-2)
+
+    g = jnp.asarray(rng.randn(b, h, w, cout).astype(np.float32))
+    got = dcn_v2_pallas_bwd_lanes_fused(x, om_k, om_b, wgt, g,
+                                        interpret=True)
+
+    def ref(x, om_k, om_b, wgt, bias):
+        offset, mask = _om_composition(x, om_k, om_b)
+        return xla_clamped("lanes")(x.astype(jnp.float32), offset, mask,
+                                    wgt.astype(jnp.float32), bias)
+
+    _, vjp = jax.vjp(ref, x, om_k, om_b, wgt, bias)
+    assert_grads_close(got, vjp(g),
+                       names=("dx", "dom_kernel", "dom_bias", "dw", "db"))
+
+
+def test_fused_op_module_routing(rng):
+    """The DCN module routes bf16 lanes shapes to the fused op (offsets
+    never materialized) and float32 to the explicit conv path; both match
+    numerically and both surface the max_abs_dy monitor."""
+    from centernet_uda_tpu.ops import dcn as dcn_mod
+
+    mod_bf16 = dcn_mod.DCN(features=8, use_pallas=True, dtype=jnp.bfloat16)
+    # the f32 comparison module takes the exact XLA path (a compiled
+    # unfused Pallas call cannot run on the CPU test platform)
+    mod_f32 = dcn_mod.DCN(features=8, use_pallas=False, dtype=jnp.float32)
+    x = rng.randn(2, 16, 16, 8).astype(np.float32)
+    om_k = (rng.randn(3, 3, 8, 27) * 1e-3).astype(np.float32)
+    om_b = np.zeros(27, np.float32)
+    om_b[:18] = 0.4  # offsets away from integer crossings (see above)
+
+    # interpret mode for the fused kernel on CPU (init and apply both
+    # trace the fused op for bf16 input)
+    import centernet_uda_tpu.ops.dcn_pallas as dp
+    orig_fwd = dp.dcn_v2_pallas_lanes_fused
+
+    def fwd_interp(*args, **kw):
+        kw["interpret"] = True
+        return orig_fwd(*args, **kw)
+
+    try:
+        dp.dcn_v2_pallas_lanes_fused = fwd_interp
+        variables = mod_bf16.init(jax.random.PRNGKey(0),
+                                  jnp.asarray(x, jnp.bfloat16))
+        params = dict(variables["params"])
+        params["conv_offset_mask"] = {"kernel": jnp.asarray(om_k),
+                                      "bias": jnp.asarray(om_b)}
+        out_bf16, inter = mod_bf16.apply(
+            {"params": params}, jnp.asarray(x, jnp.bfloat16),
+            mutable=["intermediates"])
+    finally:
+        dp.dcn_v2_pallas_lanes_fused = orig_fwd
+    out_f32 = mod_f32.apply({"params": params}, jnp.asarray(x))
+
+    np.testing.assert_allclose(
+        np.asarray(out_bf16, np.float32), np.asarray(out_f32),
+        atol=8e-2, rtol=8e-2)
+    # the fused stat must equal max |dy| of the explicitly composed
+    # offsets (dy = the even channels of the interleaved offset read)
+    offset, _ = _om_composition(jnp.asarray(x), jnp.asarray(om_k),
+                                jnp.asarray(om_b))
+    want_stat = float(jnp.max(jnp.abs(offset[..., 0::2])))
+    stat = float(inter["intermediates"]["max_abs_dy"][0])
+    assert stat == pytest.approx(want_stat, rel=2e-2)

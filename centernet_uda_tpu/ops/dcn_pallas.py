@@ -1086,8 +1086,10 @@ def dcn_v2_pallas_lanes_fused(
         out_specs=[
             pl.BlockSpec((1, r_blk, wl, cout), lambda i, r: (i, r, 0, 0),
                          memory_space=pltpu.VMEM),
+            # scalar monitor: (1, 1) blocks live in SMEM (VMEM requires
+            # 8x128-tiled blocks on real hardware)
             pl.BlockSpec((1, 1), lambda i, r: (i, r),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bp, h_pad, wl, cout), x.dtype),

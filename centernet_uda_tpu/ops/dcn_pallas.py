@@ -1021,7 +1021,7 @@ def _dcn_fused_kernel(xt_ref, omw_ref, omb_ref, w_ref, b_ref,
         )
 
     out_ref[0] = (out_acc + b_ref[0][None, None, :]).astype(out_ref.dtype)
-    stat_ref[0, 0] = stat
+    stat_ref[0, 0, 0, 0] = stat
 
 
 @functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
@@ -1086,14 +1086,15 @@ def dcn_v2_pallas_lanes_fused(
         out_specs=[
             pl.BlockSpec((1, r_blk, wl, cout), lambda i, r: (i, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            # scalar monitor: (1, 1) blocks live in SMEM (VMEM requires
-            # 8x128-tiled blocks on real hardware)
-            pl.BlockSpec((1, 1), lambda i, r: (i, r),
-                         memory_space=pltpu.SMEM),
+            # scalar monitor: Mosaic requires the block's last two dims to
+            # be 8x128-tiled OR equal to the array's — trailing (1, 1)
+            # array dims satisfy the latter for a per-block scalar
+            pl.BlockSpec((1, 1, 1, 1), lambda i, r: (i, r, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bp, h_pad, wl, cout), x.dtype),
-            jax.ShapeDtypeStruct((bp, n_rb), jnp.float32),
+            jax.ShapeDtypeStruct((bp, n_rb, 1, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -1021,7 +1021,8 @@ def _dcn_fused_kernel(xt_ref, omw_ref, omb_ref, w_ref, b_ref,
         )
 
     out_ref[0] = (out_acc + b_ref[0][None, None, :]).astype(out_ref.dtype)
-    stat_ref[0, 0, 0, 0] = stat
+    # (1, 1) vector store — Mosaic rejects scalar stores to VMEM
+    stat_ref[0, 0] = jnp.reshape(stat, (1, 1))
 
 
 @functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))

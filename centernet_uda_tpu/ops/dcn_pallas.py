@@ -1106,7 +1106,7 @@ def dcn_v2_pallas_lanes_fused(
 
 def _dcn_fused_bwd_kernel(xt_ref, omw_ref, omb_ref, w_ref, g_ref,
                           dw_out_ref, dxp_ref, dwom_ref, dbom_ref,
-                          dw_acc, s_acc, dx_acc, dz_acc, dwom_acc, dbom_acc,
+                          dw_acc, s_acc, dx_acc, dwom_acc, dbom_acc,
                           *,
                           h: int, w: int, w_img: int, cin: int, cout: int,
                           pad_rows: int, max_shift: int, row_block: int):
@@ -1137,6 +1137,7 @@ def _dcn_fused_bwd_kernel(xt_ref, omw_ref, omb_ref, w_ref, g_ref,
     jgrid, seg_base = _seg_grids(r_blk, w, w_img)
     pos = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w, w), 1)
     g_blk = g_ref[0]  # (R, W, Cout)
+    dz_parts = [None] * 27  # per-channel (R, W) d(om) planes
 
     for t in range(9):
         ti, tj = t // 3, t % 3
@@ -1257,35 +1258,37 @@ def _dcn_fused_bwd_kernel(xt_ref, omw_ref, omb_ref, w_ref, g_ref,
         # d(om): same gating as the unfused outputs (clamped dy rows get
         # zero; the mask row carries the sigmoid derivative); channel
         # mapping mirrors the forward read — dy at 2t, dx at 2t+1
-        dz_acc[2 * t] = jnp.where(jnp.abs(off_y_raw) < max_shift,
-                                  m * doffy_t, 0.0)
-        dz_acc[2 * t + 1] = m * doffx_t
-        dz_acc[18 + t] = dmask_t * m * (1.0 - m)
+        dz_parts[2 * t] = jnp.where(jnp.abs(off_y_raw) < max_shift,
+                                    m * doffy_t, 0.0)
+        dz_parts[2 * t + 1] = m * doffx_t
+        dz_parts[18 + t] = dmask_t * m * (1.0 - m)
 
     # ---- offset conv backward, consuming dz in-kernel -------------------
-    dz = dz_acc[:]
-    dbom_acc[0] = dbom_acc[0] + jnp.sum(dz, axis=(1, 2))
+    # (R, 27, W): channels on the second-minor dim so every contraction
+    # below batches over R in the SAME operand position (Mosaic requires
+    # aligned batch dims)
+    dz = jnp.stack(dz_parts, axis=1)
+    dbom_acc[...] = dbom_acc[...] + jnp.sum(dz, axis=(0, 2))[None, :]
     m_first, m_last = _lane_edge_masks(w, w_img)
-    # dzs[tj][c, r, w] = dz[c, r, w - (tj - 1)] — adjoint of the forward's
-    # lane rolls (roll directions and edge masks swap roles); the mask
-    # shapes broadcast over the leading (27,) dim
+    # dzs[tj][r, c, w] = dz[r, c, w - (tj - 1)] — adjoint of the forward's
+    # lane rolls (roll directions and edge masks swap roles)
     dzs = (
-        (pltpu.roll(dz, w - 1, 2) * m_last[0]).astype(jnp.bfloat16),
+        (pltpu.roll(dz, w - 1, 2) * m_last).astype(jnp.bfloat16),
         dz.astype(jnp.bfloat16),
-        (pltpu.roll(dz, 1, 2) * m_first[0]).astype(jnp.bfloat16),
+        (pltpu.roll(dz, 1, 2) * m_first).astype(jnp.bfloat16),
     )
     for t in range(9):
         ti, tj = t // 3, t % 3
         src = xt_ref[0, pl.ds(r0 + pad_rows + ti - 1, r_blk)]  # (R, Cin, W)
-        dzs_t = dzs[tj]  # (27, R, W)
-        # dW_om[t][cin, c] = sum_{r,w} src[r, cin, w] dzs_t[c, r, w]
+        dzs_t = dzs[tj]  # (R, 27, W)
+        # dW_om[t][cin, c] = sum_{r,w} src[r, cin, w] dzs_t[r, c, w]
         dws = jax.lax.dot_general(
-            src, dzs_t, (((2,), (2,)), ((0,), (1,))),
+            src, dzs_t, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)  # (R, Cin, 27)
         dwom_acc[t] = dwom_acc[t] + jnp.sum(dws, axis=0)
-        # dx[r + ti - 1, w, cin] += sum_c W_om[t][cin, c] dzs_t[c, r, w]
+        # dx[r + ti - 1, w, cin] += sum_c W_om[t][cin, c] dzs_t[r, c, w]
         u = jax.lax.dot_general(
-            dzs_t, omw_b[t], (((0,), (1,)), ((), ())),
+            dzs_t, omw_b[t], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (R, W, Cin)
         row = r0 + pad_rows + ti - 1
         dx_acc[pl.ds(row, r_blk)] = dx_acc[pl.ds(row, r_blk)] + u
@@ -1374,7 +1377,6 @@ def dcn_v2_pallas_bwd_lanes_fused(
             pltpu.VMEM((9, cin, cout), jnp.float32),
             pltpu.VMEM((r_blk, cin, wl), jnp.float32),
             pltpu.VMEM((hp2, wl, cin), jnp.float32),
-            pltpu.VMEM((27, r_blk, wl), jnp.float32),
             pltpu.VMEM((9, cin, 27), jnp.float32),
             pltpu.VMEM((1, 27), jnp.float32),
         ],

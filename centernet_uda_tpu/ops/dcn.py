@@ -235,11 +235,32 @@ def _dcn_pallas_bwd(res, g):
 _dcn_pallas_op.defvjp(_dcn_pallas_fwd, _dcn_pallas_bwd)
 
 
+# How the fused-forward op differentiates (A/B switch, see BASELINE.md):
+#   "kernel" (default) — the single fully-fused Pallas backward
+#       (dcn_v2_pallas_bwd_lanes_fused): offsets/masks and their gradients
+#       never exist in HBM. Measured FASTER in-model than "hybrid"
+#       (DLA 512px train 137.6 vs 135.3 img/s): the unfused backward
+#       kernel needs channel-major (B,27,H,W) off/mask staging transposes
+#       that cost more than the in-kernel offset-conv tail.
+#   "hybrid" — the backward RECOMPUTES offsets/mask with a plain XLA conv
+#       (reading the bf16 residual x), runs the unfused lanes backward
+#       kernel for the sampling gradients, and lets XLA's conv backprop
+#       produce d(om_kernel)/d(om_bias)/the dx contribution. Kept for A/B.
+_FUSED_BWD_MODE = "kernel"
+
+
+def set_fused_bwd_mode(mode: str) -> None:
+    global _FUSED_BWD_MODE
+    if mode not in ("hybrid", "kernel"):
+        raise ValueError(f"fused bwd mode must be hybrid|kernel, got {mode!r}")
+    _FUSED_BWD_MODE = mode
+
+
 @jax.custom_vjp
 def _dcn_fused_op(x, om_kernel, om_bias, weight, bias):
     """Fused-offset-conv DCNv2: the ``conv_offset_mask`` conv runs INSIDE
-    the Pallas kernels (both directions), so offsets/masks never touch HBM
-    (profiled at 8.2 ms/step as separate XLA convs). Returns
+    the Pallas forward kernel, so offsets/masks never touch HBM on the
+    forward (profiled at 8.2 ms/step as separate XLA convs). Returns
     ``(out, max_abs_dy)`` — the stat feeds the clamp-saturation monitor
     and carries no gradient."""
     from centernet_uda_tpu.ops.dcn_pallas import dcn_v2_pallas_lanes_fused
@@ -255,14 +276,45 @@ def _dcn_fused_fwd(x, om_kernel, om_bias, weight, bias):
 
 
 def _dcn_fused_bwd(res, cts):
-    from centernet_uda_tpu.ops.dcn_pallas import dcn_v2_pallas_bwd_lanes_fused
-
     x, om_kernel, om_bias, weight, bias = res
     g, _g_stat = cts  # the monitor stat is stop_gradient'ed by the module
-    dx, dom_k, dom_b, dweight, dbias = dcn_v2_pallas_bwd_lanes_fused(
-        x, om_kernel, om_bias, weight, g, max_shift=PALLAS_MAX_SHIFT)
-    return (dx, dom_k, dom_b, dweight,
-            None if bias is None else dbias.astype(bias.dtype))
+
+    if _FUSED_BWD_MODE == "kernel":
+        from centernet_uda_tpu.ops.dcn_pallas import (
+            dcn_v2_pallas_bwd_lanes_fused)
+
+        dx, dom_k, dom_b, dweight, dbias = dcn_v2_pallas_bwd_lanes_fused(
+            x, om_kernel, om_bias, weight, g, max_shift=PALLAS_MAX_SHIFT)
+        return (dx, dom_k, dom_b, dweight,
+                None if bias is None else dbias.astype(bias.dtype))
+
+    from centernet_uda_tpu.ops.dcn_pallas import dcn_v2_pallas_bwd
+
+    def om_fn(xq, omw, omb):
+        # the conv runs at x's dtype end to end (same arithmetic as the
+        # module's explicit path; mixed-dtype convs have no transpose
+        # rule) — the bf16 rounding of om vs the kernel's f32 partials is
+        # within the clamp-gating tolerance and matches what the unfused
+        # production path always shipped
+        om = jax.lax.conv_general_dilated(
+            xq, omw.astype(xq.dtype),
+            window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return om.astype(jnp.float32) + omb.astype(jnp.float32)
+
+    om, om_vjp = jax.vjp(om_fn, x, om_kernel, om_bias)
+    # fused-kernel channel read: interleaved (dy, dx) over om[..., :18],
+    # mask logits at om[..., 18:] — identical to the module's explicit path
+    offset = om[..., :18]
+    mask = jax.nn.sigmoid(om[..., 18:])
+    dx_s, doff, dmask, dweight, dbias = dcn_v2_pallas_bwd(
+        x, offset, mask, weight, g, max_shift=PALLAS_MAX_SHIFT)
+    dom = jnp.concatenate([doff, dmask * mask * (1.0 - mask)], axis=-1)
+    dx_om, dom_k, dom_b = om_vjp(dom)
+    dx = (dx_s.astype(jnp.float32)
+          + dx_om.astype(jnp.float32)).astype(x.dtype)
+    return (dx, dom_k.astype(om_kernel.dtype), dom_b.astype(om_bias.dtype),
+            dweight, None if bias is None else dbias.astype(bias.dtype))
 
 
 _dcn_fused_op.defvjp(_dcn_fused_fwd, _dcn_fused_bwd)

@@ -1104,7 +1104,8 @@ def dcn_v2_pallas_lanes_fused(
     return _unpack_w(out, pk)[:, :h], jnp.max(stat)
 
 
-def _dcn_fused_bwd_kernel(xt_ref, omw_ref, omb_ref, w_ref, g_ref,
+def _dcn_fused_bwd_kernel(xt_ref, omw_ref, omw_cat_ref, omb_ref, w_ref,
+                          g_ref,
                           dw_out_ref, dxp_ref, dwom_ref, dbom_ref,
                           dw_acc, s_acc, dx_acc, dwom_acc, dbom_acc,
                           *,
@@ -1270,25 +1271,32 @@ def _dcn_fused_bwd_kernel(xt_ref, omw_ref, omb_ref, w_ref, g_ref,
     dz = jnp.stack(dz_parts, axis=1)
     dbom_acc[...] = dbom_acc[...] + jnp.sum(dz, axis=(0, 2))[None, :]
     m_first, m_last = _lane_edge_masks(w, w_img)
-    # dzs[tj][r, c, w] = dz[r, c, w - (tj - 1)] — adjoint of the forward's
-    # lane rolls (roll directions and edge masks swap roles)
-    dzs = (
-        (pltpu.roll(dz, w - 1, 2) * m_last).astype(jnp.bfloat16),
-        dz.astype(jnp.bfloat16),
-        (pltpu.roll(dz, 1, 2) * m_first).astype(jnp.bfloat16),
-    )
-    for t in range(9):
-        ti, tj = t // 3, t % 3
+    # dzs_all[r, tj*27 + c, w] = dz[r, c, w - (tj - 1)] — adjoint of the
+    # forward's lane rolls (roll directions and edge masks swap roles).
+    # The three tj variants concatenate into ONE (R, 81, W) operand so the
+    # tap loop below collapses to 3 iterations over ti with 81-deep
+    # contractions: a K=27 / N=27 matmul runs the MXU at ~21% lane
+    # occupancy, K=81 / N=81 at ~63% — same MACs, a third of the passes.
+    dzs_all = jnp.concatenate([
+        pltpu.roll(dz, w - 1, 2) * m_last,
+        dz,
+        pltpu.roll(dz, 1, 2) * m_first,
+    ], axis=1).astype(jnp.bfloat16)  # (R, 81, W)
+    for ti in range(3):
         src = xt_ref[0, pl.ds(r0 + pad_rows + ti - 1, r_blk)]  # (R, Cin, W)
-        dzs_t = dzs[tj]  # (R, 27, W)
-        # dW_om[t][cin, c] = sum_{r,w} src[r, cin, w] dzs_t[r, c, w]
+        # dW_om[ti][cin, tj*27+c] = sum_{r,w} src[r, cin, w] dzs_all[r, tj*27+c, w]
         dws = jax.lax.dot_general(
-            src, dzs_t, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # (R, Cin, 27)
-        dwom_acc[t] = dwom_acc[t] + jnp.sum(dws, axis=0)
-        # dx[r + ti - 1, w, cin] += sum_c W_om[t][cin, c] dzs_t[r, c, w]
+            src, dzs_all, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (R, Cin, 81)
+        dwom_acc[ti] = dwom_acc[ti] + jnp.sum(dws, axis=0)
+        # dx[r + ti - 1, w, cin] += sum_{tj,c} W_om[ti*3+tj][cin, c]
+        #                                       dzs_all[r, tj*27+c, w]
+        # omw_cat is pre-concatenated OUTSIDE the kernel — an in-kernel
+        # lane concat at offsets 27/54 costs Mosaic lane shuffles that
+        # regressed the Cin=256 shapes ~30%
+        omw_ti = omw_cat_ref[ti].astype(jnp.bfloat16)  # (Cin, 81)
         u = jax.lax.dot_general(
-            dzs_t, omw_b[t], (((1,), (1,)), ((), ())),
+            dzs_all, omw_ti, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (R, W, Cin)
         row = r0 + pad_rows + ti - 1
         dx_acc[pl.ds(row, r_blk)] = dx_acc[pl.ds(row, r_blk)] + u
@@ -1332,6 +1340,10 @@ def dcn_v2_pallas_bwd_lanes_fused(
         ((0, 0), (pad_rows, pad_rows + extra), (0, 0), (0, 0)),
     ).transpose(0, 1, 3, 2)
     omw = om_kernel.reshape(9, cin, 27).astype(jnp.float32)
+    # (3, Cin, 81) tj-concatenated layout for the in-kernel offset-conv
+    # backward tail (see kernel comments) — built here where it's free
+    omw_cat = (omw.reshape(3, 3, cin, 27).transpose(0, 2, 1, 3)
+               .reshape(3, cin, 81))
     omb = om_bias.astype(jnp.float32).reshape(27, 1)
     w_taps = weight.reshape(9, cin, cout).astype(jnp.float32)
     gq = gq if gq.dtype == jnp.bfloat16 else gq.astype(jnp.float32)
@@ -1350,6 +1362,8 @@ def dcn_v2_pallas_bwd_lanes_fused(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, cin, 27), lambda i, r: (0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, cin, 81), lambda i, r: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((27, 1), lambda i, r: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, cin, cout), lambda i, r: (0, 0, 0),
@@ -1362,7 +1376,7 @@ def dcn_v2_pallas_bwd_lanes_fused(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hp2, wl, cin), lambda i, r: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9, cin, 27), lambda i, r: (i, 0, 0, 0),
+            pl.BlockSpec((1, 3, cin, 81), lambda i, r: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 27), lambda i, r: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1370,26 +1384,28 @@ def dcn_v2_pallas_bwd_lanes_fused(
         out_shape=[
             jax.ShapeDtypeStruct((bp, 9, cin, cout), jnp.float32),
             jax.ShapeDtypeStruct((bp, hp2, wl, cin), x.dtype),
-            jax.ShapeDtypeStruct((bp, 9, cin, 27), jnp.float32),
+            jax.ShapeDtypeStruct((bp, 3, cin, 81), jnp.float32),
             jax.ShapeDtypeStruct((bp, 1, 27), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((9, cin, cout), jnp.float32),
             pltpu.VMEM((r_blk, cin, wl), jnp.float32),
             pltpu.VMEM((hp2, wl, cin), jnp.float32),
-            pltpu.VMEM((9, cin, 27), jnp.float32),
+            pltpu.VMEM((3, cin, 81), jnp.float32),
             pltpu.VMEM((1, 27), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xt, omw, omb, w_taps, g_blk_in)
+    )(xt, omw, omw_cat, omb, w_taps, g_blk_in)
 
     dx_t = dx_full[:, pad_rows:pad_rows + h_pad]
     dx = _unpack_w(dx_t, pk)[:, :h].astype(x.dtype)
     dweight = dw_b.sum(axis=0).reshape(3, 3, cin, cout).astype(weight.dtype)
-    dom_k = dwom_b.sum(axis=0).reshape(3, 3, cin, 27
-                                       ).astype(om_kernel.dtype)
+    # dwom comes out (3, Cin, 81) with the 81 axis = (tj, c) — undo the
+    # tj-concatenation into the (ti, tj, Cin, 27) HWIO tap layout
+    dom_k = (dwom_b.sum(axis=0).reshape(3, cin, 3, 27)
+             .transpose(0, 2, 1, 3).astype(om_kernel.dtype))
     dom_b = dbom_b.sum(axis=(0, 1)).astype(om_bias.dtype)
     dbias = g_blk_in[:, :h].astype(jnp.float32).sum(axis=(0, 1, 2))
     return dx, dom_k, dom_b, dweight, dbias

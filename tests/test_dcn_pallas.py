@@ -393,6 +393,50 @@ def test_fused_backward_lane_packed(rng):
                        names=("dx", "dom_kernel", "dom_bias", "dw", "db"))
 
 
+def test_fused_op_hybrid_vjp_matches_composition(rng):
+    """The fused op's "hybrid" differentiation (fused Pallas forward,
+    offset-conv recompute + unfused lanes backward kernel + XLA conv
+    backprop) produces the same five gradients as jax.vjp through the
+    explicit composition. Kept as an A/B path; "kernel" is the measured
+    default (ops/dcn.py:_FUSED_BWD_MODE)."""
+    from centernet_uda_tpu.ops import dcn as dcn_mod
+
+    x, om_k, om_b, wgt, bias = _fused_inputs(rng)
+    g = jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32))
+
+    orig_fwd = dcn_pallas.dcn_v2_pallas_lanes_fused
+    orig_bwd = dcn_pallas.dcn_v2_pallas_bwd
+
+    def fwd_interp(*args, **kw):
+        kw["interpret"] = True
+        return orig_fwd(*args, **kw)
+
+    def bwd_interp(*args, **kw):
+        kw["interpret"] = True
+        return orig_bwd(*args, **kw)
+
+    try:
+        dcn_pallas.dcn_v2_pallas_lanes_fused = fwd_interp
+        dcn_pallas.dcn_v2_pallas_bwd = bwd_interp
+        dcn_mod.set_fused_bwd_mode("hybrid")
+        (out, stat), vjp = jax.vjp(
+            dcn_mod._dcn_fused_op, x, om_k, om_b, wgt, bias)
+        got = vjp((g.astype(out.dtype), jnp.zeros_like(stat)))
+    finally:
+        dcn_mod.set_fused_bwd_mode("kernel")
+        dcn_pallas.dcn_v2_pallas_lanes_fused = orig_fwd
+        dcn_pallas.dcn_v2_pallas_bwd = orig_bwd
+
+    def ref(x, om_k, om_b, wgt, bias):
+        offset, mask = _om_composition(x, om_k, om_b)
+        return xla_clamped("lanes")(x.astype(jnp.float32), offset, mask,
+                                    wgt.astype(jnp.float32), bias)
+
+    _, ref_vjp = jax.vjp(ref, x, om_k, om_b, wgt, bias)
+    assert_grads_close(got, ref_vjp(g),
+                       names=("dx", "dom_kernel", "dom_bias", "dw", "db"))
+
+
 def test_fused_op_module_routing(rng):
     """The DCN module routes bf16 lanes shapes to the fused op (offsets
     never materialized) and float32 to the explicit conv path; both match

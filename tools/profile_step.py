@@ -83,12 +83,19 @@ def report(trace_dir: str, steps: int):
     with gzip.open(sorted(paths)[-1], "rt") as f:
         trace = json.load(f)
 
-    # device-op complete events; exclude host threads by pid name lookup
-    events = [e for e in trace.get("traceEvents", []) if e.get("ph") == "X"]
+    # device-op complete events ONLY: resolve device pids from the
+    # process_name metadata (host threads otherwise dominate "[other]")
+    all_events = trace.get("traceEvents", [])
+    device_pids = set()
+    for e in all_events:
+        if (e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in str((e.get("args") or {}).get("name", ""))):
+            device_pids.add(e.get("pid"))
+    events = [e for e in all_events if e.get("ph") == "X"
+              and (not device_pids or e.get("pid") in device_pids)]
     durs_by_name = defaultdict(float)
     counts = defaultdict(int)
     for e in events:
-        args = e.get("args") or {}
         # XLA op events carry 'long_name' / 'group_id'; host events don't
         name = e.get("name", "")
         if not name or name.startswith(("process_", "thread_")):

@@ -45,16 +45,22 @@ def main():
     def sync(value):
         np.asarray(jax.tree.leaves(value)[0])
 
+    is_training = os.environ.get("PROF_TRAIN", "1") == "1"
+
+    def one_step():
+        out = trainer.step(batch, is_training=is_training)
+        return out["stats"]  # both phases return a stats dict
+
     for _ in range(3):
-        out = trainer.step(batch, is_training=True)
-    sync(out["stats"]["total_loss"])
+        out = one_step()
+    sync(out)
 
     trace_dir = os.environ.get("PROF_DIR", "/tmp/prof_step")
     os.system(f"rm -rf {trace_dir}")
     jax.profiler.start_trace(trace_dir)
     for _ in range(steps):
-        out = trainer.step(batch, is_training=True)
-    sync(out["stats"]["total_loss"])
+        out = one_step()
+    sync(out)
     jax.profiler.stop_trace()
 
     report(trace_dir, steps)

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import functools
 import math
-import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -129,14 +128,6 @@ class _S2DConv(nn.Module):
     ``nn.Conv`` it replaces (same name/init -> checkpoint and torch-import
     parity), then applies its packed equivalent. stride 1 keeps the packed
     layout; stride 2 emits the unpacked stride-2 output directly.
-
-    On TPU with bfloat16 and the Pallas default enabled (``dcn_impl``),
-    the packed conv runs the Pallas stem-conv kernel (ops/conv_pallas.py):
-    XLA lowers the Cin=12 base conv with a batch-on-lanes layout at ~8.5%
-    MXU utilization — the kernel keeps channels on sublanes / width on
-    lanes and contracts all vertical taps at once. ``needs_input_grad``
-    False (the base conv — its input is the image batch) skips the
-    transposed conv in the backward entirely.
     """
 
     features: int
@@ -145,7 +136,6 @@ class _S2DConv(nn.Module):
     in_features: int
     dtype: Any = jnp.float32
     pack: int = 2
-    needs_input_grad: bool = True
 
     @nn.compact
     def __call__(self, xp: jax.Array) -> jax.Array:
@@ -159,24 +149,8 @@ class _S2DConv(nn.Module):
             self.pack)
         wp = (jnp.take(w.reshape(-1), jnp.asarray(idx))
               * jnp.asarray(valid)).astype(self.dtype)
-
-        from centernet_uda_tpu.ops import conv_pallas, dcn as dcn_ops
-
-        # A/B knob: off | base (only the no-dx base conv) | all
-        mode = os.environ.get("CONV_PALLAS_STEM", "all")
-        enabled = (mode == "all"
-                   or (mode == "base" and not self.needs_input_grad))
-        xq = xp.astype(self.dtype)
-        if (enabled and dcn_ops.get_pallas_default()
-                and self.dtype == jnp.bfloat16
-                and conv_pallas.conv2d_pallas_supported(
-                    xq, wp, (1, 1), (pad, pad))):
-            # gradients flow through the jnp.take weight map back to the
-            # original HWIO kernel automatically (the map is linear)
-            return conv_pallas.conv2d_pallas(
-                xq, wp, (pad, pad), needs_dx=self.needs_input_grad)
         return jax.lax.conv_general_dilated(
-            xq, wp, (1, 1), [pad, pad],
+            xp.astype(self.dtype), wp, (1, 1), [pad, pad],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
 
@@ -355,13 +329,11 @@ class DLATrunk(nn.Module):
             if (self.base_pack == 4
                     and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0):
                 xp = _S2DConv(ch[0], 7, 1, x.shape[-1], dtype=self.dtype,
-                              pack=4, name="base_conv",
-                              needs_input_grad=False)(_s2d(x, 4))
+                              pack=4, name="base_conv")(_s2d(x, 4))
                 xp = _repack4_to2(xp)
             else:
                 xp = _S2DConv(ch[0], 7, 1, x.shape[-1], dtype=self.dtype,
-                              name="base_conv",
-                              needs_input_grad=False)(_s2d(x))
+                              name="base_conv")(_s2d(x))
             xp = _phased_bn(xp, train, "base_bn", self.dtype)
             xp = nn.relu(xp)
             for i in range(self.levels[0]):

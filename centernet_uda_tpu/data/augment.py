@@ -467,6 +467,334 @@ class CoarseDropout(Augmenter):
         return (image * keep).astype(np.uint8), boxes, keypoints
 
 
+class GammaContrast(Augmenter):
+    """imgaug.GammaContrast: v' = 255 * (v/255)^gamma."""
+
+    def __init__(self, gamma: Range = (0.7, 1.7)):
+        self.gamma = gamma
+
+    def apply(self, image, boxes, keypoints, rng):
+        g = _sample(self.gamma, rng)
+        return (_apply_pointwise_u8(
+            image, lambda v: np.power(v / 255.0, g) * 255.0),
+            boxes, keypoints)
+
+
+class SigmoidContrast(Augmenter):
+    """imgaug.SigmoidContrast: v' = 255/(1+exp(gain*(cutoff - v/255)))."""
+
+    def __init__(self, gain: Range = (5, 20), cutoff: Range = (0.25, 0.75)):
+        self.gain = gain
+        self.cutoff = cutoff
+
+    def apply(self, image, boxes, keypoints, rng):
+        gain = _sample(self.gain, rng)
+        cut = _sample(self.cutoff, rng)
+        return (_apply_pointwise_u8(
+            image, lambda v: 255.0 / (1.0 + np.exp(gain * (cut - v / 255.0)))),
+            boxes, keypoints)
+
+
+class AverageBlur(Augmenter):
+    def __init__(self, k: Range = (1, 7)):
+        self.k = k
+
+    def apply(self, image, boxes, keypoints, rng):
+        k = _sample_int(self.k, rng)
+        if k > 1:
+            image = cv2.blur(image, (k, k))
+        return image, boxes, keypoints
+
+
+class MedianBlur(Augmenter):
+    def __init__(self, k: Range = (1, 7)):
+        self.k = k
+
+    def apply(self, image, boxes, keypoints, rng):
+        k = _sample_int(self.k, rng)
+        if k > 1:
+            image = cv2.medianBlur(image, k | 1)  # cv2 needs odd k
+        return image, boxes, keypoints
+
+
+class SaltAndPepper(Augmenter):
+    """imgaug.SaltAndPepper: replace each pixel with 0 or 255 (equal odds)
+    with probability p."""
+
+    def __init__(self, p: Range = (0.0, 0.03), per_channel: bool = False):
+        self.p = p
+        self.per_channel = per_channel
+
+    def apply(self, image, boxes, keypoints, rng):
+        p = _sample(self.p, rng)
+        if p <= 0:
+            return image, boxes, keypoints
+        shape = image.shape if (self.per_channel and image.ndim == 3
+                                ) else image.shape[:2]
+        u = rng.rand(*shape)
+        hit = u < p
+        salt = u < p / 2.0
+        if shape == image.shape[:2] and image.ndim == 3:
+            hit, salt = hit[..., None], salt[..., None]
+        out = np.where(hit, np.where(salt, 255, 0), image)
+        return out.astype(np.uint8), boxes, keypoints
+
+
+class Invert(Augmenter):
+    """imgaug.Invert(p): per-image probability of v' = 255 - v."""
+
+    def __init__(self, p: float = 1.0, per_channel: bool = False):
+        self.p = float(p)
+        self.per_channel = per_channel
+
+    def apply(self, image, boxes, keypoints, rng):
+        if self.per_channel and image.ndim == 3:
+            flip = rng.rand(image.shape[2]) < self.p
+            out = image.copy()
+            out[..., flip] = 255 - out[..., flip]
+            return out, boxes, keypoints
+        if rng.rand() < self.p:
+            image = (255 - image.astype(np.int16)).astype(np.uint8)
+        return image, boxes, keypoints
+
+
+class Solarize(Augmenter):
+    """imgaug.Solarize(p, threshold): invert pixels >= threshold, applied
+    per image with probability p."""
+
+    def __init__(self, p: float = 1.0, threshold: Range = 128):
+        self.p = float(p)
+        self.threshold = threshold
+
+    def apply(self, image, boxes, keypoints, rng):
+        if rng.rand() >= self.p:
+            return image, boxes, keypoints
+        t = _sample(self.threshold, rng)
+        inv = (255 - image.astype(np.int16)).astype(np.uint8)
+        return np.where(image >= t, inv, image), boxes, keypoints
+
+
+class Posterize(Augmenter):
+    """imgaug.Posterize: quantize to ``nb_bits`` bits per channel."""
+
+    def __init__(self, nb_bits: Range = (1, 8)):
+        self.nb_bits = nb_bits
+
+    def apply(self, image, boxes, keypoints, rng):
+        bits = int(np.clip(_sample_int(self.nb_bits, rng), 1, 8))
+        if bits >= 8:
+            return image, boxes, keypoints
+        mask = np.uint8((0xFF << (8 - bits)) & 0xFF)
+        return image & mask, boxes, keypoints
+
+
+class JpegCompression(Augmenter):
+    """imgaug.JpegCompression: encode/decode at quality 100-compression."""
+
+    def __init__(self, compression: Range = (70, 99)):
+        self.compression = compression
+
+    def apply(self, image, boxes, keypoints, rng):
+        c = int(np.clip(_sample(self.compression, rng), 0, 100))
+        quality = 100 - c
+        ok, buf = cv2.imencode(
+            ".jpg", image[..., ::-1] if image.ndim == 3 else image,
+            [cv2.IMWRITE_JPEG_QUALITY, max(quality, 1)])
+        if not ok:
+            return image, boxes, keypoints
+        dec = cv2.imdecode(buf, cv2.IMREAD_COLOR if image.ndim == 3
+                           else cv2.IMREAD_GRAYSCALE)
+        if image.ndim == 3:
+            dec = dec[..., ::-1]
+        return np.ascontiguousarray(dec), boxes, keypoints
+
+
+class AddToHueAndSaturation(Augmenter):
+    """imgaug.AddToHueAndSaturation: one sampled value added to H (imgaug's
+    angular wrap) and S (clipped)."""
+
+    def __init__(self, value: Range = (-30, 30), per_channel: bool = False):
+        self.value = value
+        self.per_channel = per_channel
+
+    def apply(self, image, boxes, keypoints, rng):
+        vh = _sample(self.value, rng)
+        vs = _sample(self.value, rng) if self.per_channel else vh
+        hsv = cv2.cvtColor(image, cv2.COLOR_RGB2HSV).astype(np.int16)
+        # OpenCV hue is [0, 180); imgaug's value is in 256-hue units
+        hsv[..., 0] = (hsv[..., 0] + int(round(vh * 180.0 / 255.0))) % 180
+        hsv[..., 1] = np.clip(hsv[..., 1] + int(vs), 0, 255)
+        image = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+        return image, boxes, keypoints
+
+
+class MultiplySaturation(Augmenter):
+    def __init__(self, mul: Range = (0.5, 1.5)):
+        self.mul = mul
+
+    def apply(self, image, boxes, keypoints, rng):
+        m = _sample(self.mul, rng)
+        hsv = cv2.cvtColor(image, cv2.COLOR_RGB2HSV).astype(np.float32)
+        hsv[..., 1] = np.clip(hsv[..., 1] * m, 0, 255)
+        image = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+        return image, boxes, keypoints
+
+
+class MultiplyBrightness(Augmenter):
+    def __init__(self, mul: Range = (0.7, 1.3)):
+        self.mul = mul
+
+    def apply(self, image, boxes, keypoints, rng):
+        m = _sample(self.mul, rng)
+        hsv = cv2.cvtColor(image, cv2.COLOR_RGB2HSV).astype(np.float32)
+        hsv[..., 2] = np.clip(hsv[..., 2] * m, 0, 255)
+        image = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+        return image, boxes, keypoints
+
+
+class ContrastNormalization(LinearContrast):
+    """Deprecated imgaug alias of LinearContrast (older reference configs
+    in the wild use it)."""
+
+
+class TranslateX(Affine):
+    def __init__(self, percent: Range = 0.0, px: Range = None):
+        if px is not None:
+            self._px = px
+            super().__init__()
+        else:
+            self._px = None
+            super().__init__(translate_percent={"x": percent})
+
+    def apply(self, image, boxes, keypoints, rng):
+        if self._px is not None:
+            t = _sample(self._px, rng)
+            m = np.array([[1, 0, t], [0, 1, 0]], np.float64)
+            return self.warp(image, boxes, keypoints, m)
+        return super().apply(image, boxes, keypoints, rng)
+
+
+class TranslateY(Affine):
+    def __init__(self, percent: Range = 0.0, px: Range = None):
+        if px is not None:
+            self._px = px
+            super().__init__()
+        else:
+            self._px = None
+            super().__init__(translate_percent={"y": percent})
+
+    def apply(self, image, boxes, keypoints, rng):
+        if self._px is not None:
+            t = _sample(self._px, rng)
+            m = np.array([[1, 0, 0], [0, 1, t]], np.float64)
+            return self.warp(image, boxes, keypoints, m)
+        return super().apply(image, boxes, keypoints, rng)
+
+
+class ShearX(Affine):
+    def __init__(self, shear: Range = (-20, 20)):
+        super().__init__(shear=shear)
+
+
+class ShearY(_AffineBase):
+    """imgaug.ShearY: vertical shear about the image center."""
+
+    def __init__(self, shear: Range = (-20, 20)):
+        self.shear = shear
+
+    def apply(self, image, boxes, keypoints, rng):
+        sh = math.tan(math.radians(_sample(self.shear, rng)))
+        h, w = image.shape[:2]
+        cx, cy = w / 2.0, h / 2.0
+        m = np.array([[1, 0, 0], [sh, 1, -sh * cx]], np.float64)
+        return self.warp(image, boxes, keypoints, m)
+
+
+class PerspectiveTransform(Augmenter):
+    """imgaug.PerspectiveTransform(scale): jitter the four image corners by
+    normal(0, scale)*size and warp; boxes map through the homography as
+    corner envelopes, keypoints exactly (keep_size semantics)."""
+
+    def __init__(self, scale: Range = (0.0, 0.06), keep_size: bool = True):
+        self.scale = scale
+        self.keep_size = bool(keep_size)
+
+    def apply(self, image, boxes, keypoints, rng):
+        s = _sample(self.scale, rng)
+        h, w = image.shape[:2]
+        src = np.array([[0, 0], [w, 0], [w, h], [0, h]], np.float32)
+        jit = rng.randn(4, 2).astype(np.float32) * s
+        dst = src + jit * np.array([w, h], np.float32)
+        m = cv2.getPerspectiveTransform(dst, src)  # sample from jittered
+        image = cv2.warpPerspective(
+            image, m, (w, h), flags=cv2.INTER_LINEAR,
+            borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+
+        def tx(pts):
+            # cv2.warpPerspective (without WARP_INVERSE_MAP) moves a source
+            # point p to m @ p in the output
+            ones = np.ones((pts.shape[0], 1), np.float64)
+            q = np.concatenate([pts.astype(np.float64), ones], 1) @ m.T
+            return (q[:, :2] / q[:, 2:3]).astype(np.float32)
+
+        if boxes is not None and len(boxes):
+            corners = np.stack(
+                [boxes[:, [0, 1]], boxes[:, [2, 1]],
+                 boxes[:, [2, 3]], boxes[:, [0, 3]]], axis=1).reshape(-1, 2)
+            corners = tx(corners).reshape(-1, 4, 2)
+            boxes = np.concatenate(
+                [corners.min(axis=1), corners.max(axis=1)], axis=1
+            ).astype(np.float32)
+        if keypoints is not None and len(keypoints):
+            keypoints = tx(keypoints)
+        return image, boxes, keypoints
+
+
+class ElasticTransformation(Augmenter):
+    """imgaug.ElasticTransformation(alpha, sigma): smoothed random
+    displacement field. Boxes/keypoints move by the field's displacement
+    sampled at their coordinates (the same first-order approximation
+    imgaug applies to keypoints; exact inversion of the field is not
+    defined)."""
+
+    def __init__(self, alpha: Range = (0.0, 40.0), sigma: Range = (4.0, 8.0)):
+        self.alpha = alpha
+        self.sigma = sigma
+
+    def apply(self, image, boxes, keypoints, rng):
+        a = _sample(self.alpha, rng)
+        sig = max(_sample(self.sigma, rng), 0.5)
+        if a <= 0:
+            return image, boxes, keypoints
+        h, w = image.shape[:2]
+        dx = cv2.GaussianBlur(
+            (rng.rand(h, w).astype(np.float32) * 2 - 1), (0, 0), sig) * a
+        dy = cv2.GaussianBlur(
+            (rng.rand(h, w).astype(np.float32) * 2 - 1), (0, 0), sig) * a
+        gx, gy = np.meshgrid(np.arange(w, dtype=np.float32),
+                             np.arange(h, dtype=np.float32))
+        image = cv2.remap(image, gx + dx, gy + dy, cv2.INTER_LINEAR,
+                          borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+
+        def move(pts):
+            xi = np.clip(pts[:, 0].round().astype(int), 0, w - 1)
+            yi = np.clip(pts[:, 1].round().astype(int), 0, h - 1)
+            # output pixel p shows input p + d(p): points move by -d
+            return pts - np.stack([dx[yi, xi], dy[yi, xi]], 1)
+
+        if boxes is not None and len(boxes):
+            corners = np.stack(
+                [boxes[:, [0, 1]], boxes[:, [2, 1]],
+                 boxes[:, [2, 3]], boxes[:, [0, 3]]], axis=1).reshape(-1, 2)
+            corners = move(corners.astype(np.float32)).reshape(-1, 4, 2)
+            boxes = np.concatenate(
+                [corners.min(axis=1), corners.max(axis=1)], axis=1
+            ).astype(np.float32)
+        if keypoints is not None and len(keypoints):
+            keypoints = move(keypoints.astype(np.float32))
+        return image, boxes, keypoints
+
+
 _REGISTRY = {
     "Sequential": Sequential,
     "Sometimes": Sometimes,
@@ -489,6 +817,25 @@ _REGISTRY = {
     "Sharpen": Sharpen,
     "Dropout": Dropout,
     "CoarseDropout": CoarseDropout,
+    "GammaContrast": GammaContrast,
+    "SigmoidContrast": SigmoidContrast,
+    "AverageBlur": AverageBlur,
+    "MedianBlur": MedianBlur,
+    "SaltAndPepper": SaltAndPepper,
+    "Invert": Invert,
+    "Solarize": Solarize,
+    "Posterize": Posterize,
+    "JpegCompression": JpegCompression,
+    "AddToHueAndSaturation": AddToHueAndSaturation,
+    "MultiplySaturation": MultiplySaturation,
+    "MultiplyBrightness": MultiplyBrightness,
+    "ContrastNormalization": ContrastNormalization,
+    "TranslateX": TranslateX,
+    "TranslateY": TranslateY,
+    "ShearX": ShearX,
+    "ShearY": ShearY,
+    "PerspectiveTransform": PerspectiveTransform,
+    "ElasticTransformation": ElasticTransformation,
 }
 
 

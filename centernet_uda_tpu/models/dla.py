@@ -155,6 +155,21 @@ class _S2DConv(nn.Module):
         )
 
 
+def _pool_max_nonoverlap(x: jax.Array, stride: int) -> jax.Array:
+    """Non-overlapping max pool (window == stride, the Tree downsample —
+    reference backends/dla.py:186) as a reshape + reduce-max: identical
+    forward to ``nn.max_pool``, but its autodiff avoids XLA's
+    select_and_scatter backward (profiled ~1 ms/step at the level2 size).
+    Tie handling differs (reduce_max's subgradient splits evenly; torch
+    routes to the first index) — measure-zero for continuous activations.
+    """
+    b, h, w, c = x.shape
+    s = stride
+    if h % s or w % s:
+        return nn.max_pool(x, (s, s), strides=(s, s))
+    return x.reshape(b, h // s, s, w // s, s, c).max(axis=(2, 4))
+
+
 def _phased_bn(xp: jax.Array, train: bool, name: str, dtype) -> jax.Array:
     """BN over the packed layout with statistics pooled across the 4 spatial
     phases — bitwise the reference per-channel statistics."""
@@ -266,8 +281,7 @@ class Tree(nn.Module):
     def __call__(self, x, residual=None, children=None, train: bool = False):
         children = [] if children is None else children
         if self.stride > 1:
-            bottom = nn.max_pool(x, (self.stride,) * 2,
-                                 strides=(self.stride,) * 2)
+            bottom = _pool_max_nonoverlap(x, self.stride)
         else:
             bottom = x
         if self.project_conv is not None:

@@ -108,6 +108,11 @@ def generation_for(x_shape) -> str:
 
 
 def _row_block(h: int, cin: int) -> int:
+    import os
+
+    env = os.environ.get("DCN_RBLK")  # perf-tuning A/B knob
+    if env and h % int(env) == 0:
+        return int(env)
     # keep the (R, Cin, W) f32 accumulator + (R, W, W) selects in VMEM
     budget = max(4096 // max(cin, 1), 8)
     # 64-row blocks measured ~10% SLOWER at the hot shape (VMEM pressure

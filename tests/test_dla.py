@@ -173,3 +173,25 @@ def test_dtype_threads_through_trunk():
     assert all(o.dtype == jnp.bfloat16 for o in trunk_outs), \
         [o.dtype for o in trunk_outs]
     assert np.isfinite(np.asarray(y["hm"], np.float32)).all()
+
+
+def test_pool_max_nonoverlap_matches_max_pool(rng):
+    """Tree's downsample runs as reshape+reduce-max (identical forward to
+    nn.max_pool at window == stride; the autodiff avoids XLA's slow
+    select_and_scatter backward — models/dla.py:_pool_max_nonoverlap).
+    Odd extents fall back to nn.max_pool."""
+    import flax.linen as nn
+
+    from centernet_uda_tpu.models.dla import _pool_max_nonoverlap
+
+    x = jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(_pool_max_nonoverlap(x, 2)),
+        np.asarray(nn.max_pool(x, (2, 2), strides=(2, 2))))
+    x_odd = jnp.asarray(rng.randn(2, 15, 16, 8).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(_pool_max_nonoverlap(x_odd, 2)),
+        np.asarray(nn.max_pool(x_odd, (2, 2), strides=(2, 2))))
+    # gradient flows and is finite (tie semantics documented in the helper)
+    g = jax.grad(lambda x: jnp.sum(_pool_max_nonoverlap(x, 2) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()

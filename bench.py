@@ -81,10 +81,19 @@ _PEAK_BF16 = {
 
 def main():
     # persistent XLA/Mosaic compile cache: the DCN kernels compile slowly
-    # through the remote-compile tunnel; cache hits make re-runs start fast
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+    # through the remote-compile tunnel; cache hits make re-runs start fast.
+    # Repo-local so a builder-session warm-up survives to the driver's
+    # end-of-round run even if /tmp is recycled (gitignored, never committed).
+    # NOTE: this image preloads jax at interpreter startup, so the
+    # JAX_COMPILATION_CACHE_DIR env var is read before any script line runs
+    # — os.environ.setdefault is a silent no-op; the config update is not.
+    _cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jaxcache"))
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", _cache)
     # cache even sub-second compiles: through the remote-compile tunnel a
     # "0.4 s" compile costs ~10x its local time, and there are many of them
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

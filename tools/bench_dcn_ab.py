@@ -7,7 +7,16 @@ Used to pick the per-shape dispatch tier in ops/dcn.py.
 import os, sys, time
 from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+# the image preloads jax before this line runs, so the env var is a
+# no-op; the runtime config update is what enables the cache
+import jax as _jax_for_cache
+
+_jax_for_cache.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                   str(Path(__file__).resolve().parent.parent / ".jaxcache")))
+_jax_for_cache.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 import jax, jax.numpy as jnp
 import numpy as np
 from centernet_uda_tpu.ops import dcn_pallas as dp

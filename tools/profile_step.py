@@ -16,7 +16,16 @@ from collections import defaultdict
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+# the image preloads jax before this line runs, so the env var is a
+# no-op; the runtime config update is what enables the cache
+import jax as _jax_for_cache
+
+_jax_for_cache.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                   str(Path(__file__).resolve().parent.parent / ".jaxcache")))
+_jax_for_cache.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 
 import jax
 import jax.numpy as jnp

@@ -2,7 +2,8 @@
 """Benchmark: train+inference throughput (images/sec/chip) on the flagship model.
 
 Prints ONE JSON line on stdout:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
+   "detail": {...}}
 
 Workload definition follows BASELINE.md: 512x512 input, batch 16, Adam,
 down_ratio 4 — the reference's training defaults (configs/defaults.yaml:102-109,
@@ -10,17 +11,15 @@ datasets/coco.py:25) on the flagship DLA-34 + DCNv2 backend. Runs on
 whatever accelerator jax sees (one TPU chip under the driver); the backend
 is switchable via BENCH_BACKEND (dla | resnet | mobilenetv2 | efficientnet).
 
-Structure (round-2 lesson — BENCH_r02.json rc=124 — refined in round 4
-after BENCH_r03 recorded null decode/DCN numbers because the cold DLA
-compile consumed the whole budget): the two CHEAP-COMPILE north-star
-micro-benches (fused decode latency, per-op DCN fwd/bwd) run FIRST under
-a small pre-budget, then the core train+infer measurement runs and the
-JSON line prints with everything measured so far. The expensive optional
-stages (800px eval-resolution inference, host-pipeline rate) run after
-the core print under the main budget and write to stderr +
-outputs/bench_extra.json, never stdout — one slow compile can therefore
-delay but never suppress the core line, and the micro numbers can never
-be starved by the main compile.
+Structure (VERDICT r04 #2/#6/#8: no number may live only in stderr): every
+stage — decode latency, per-op DCN fwd/bwd, core train+infer, 800px eval
+inference, host pipeline — runs BEFORE the single stdout JSON print and
+folds its result into ``detail``. Each optional stage has its OWN
+start-gate budget (one slow compile can delay later stages but cannot
+consume their gate), and any stage that does not produce a number records
+a ``<stage>_skip_reason`` string in ``detail`` instead — a null is never
+ambiguous between "never ran", "crashed", and "budget-starved". The core
+train+infer measurement is unconditional.
 """
 
 from __future__ import annotations
@@ -39,7 +38,7 @@ def _elapsed() -> float:
     return time.perf_counter() - _START
 
 
-def _pipeline_rate() -> float:
+def _pipeline_rate(deadline_s: float) -> float:
     """Host loader rate (real aug + native encode at 512px), measured in a
     fresh JAX-free subprocess: forking worker processes from a process
     that already initialized the TPU runtime can deadlock."""
@@ -55,7 +54,8 @@ def _pipeline_rate() -> float:
     out = subprocess.run(
         [sys.executable,
          str(Path(__file__).resolve().parent / "tools/bench_pipeline.py")],
-        env=env, capture_output=True, text=True, timeout=240,
+        env=env, capture_output=True, text=True,
+        timeout=max(deadline_s, 30.0),
     )
     line = out.stdout.strip().splitlines()[-1]
     return float(json_lib.loads(line)["pipeline_images_per_sec"])
@@ -79,44 +79,62 @@ _PEAK_BF16 = {
 }
 
 
-def main():
-    # persistent XLA/Mosaic compile cache: the DCN kernels compile slowly
-    # through the remote-compile tunnel; cache hits make re-runs start fast.
-    # Repo-local so a builder-session warm-up survives to the driver's
-    # end-of-round run even if /tmp is recycled (gitignored, never committed).
-    # NOTE: this image preloads jax at interpreter startup, so the
-    # JAX_COMPILATION_CACHE_DIR env var is read before any script line runs
-    # — os.environ.setdefault is a silent no-op; the config update is not.
-    _cache = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".jaxcache"))
-    import jax
+class _Stages:
+    """Per-stage results + skip reasons, all landing in the final JSON."""
 
-    jax.config.update("jax_compilation_cache_dir", _cache)
-    # cache even sub-second compiles: through the remote-compile tunnel a
-    # "0.4 s" compile costs ~10x its local time, and there are many of them
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    def __init__(self):
+        self.detail = {}
+        self.seconds = {}
+
+    def run(self, name: str, enabled: bool, gate_s: float, fn) -> None:
+        """Run one optional stage. ``fn`` returns a dict merged into
+        detail; on skip/error write ``<name>_skip_reason`` instead."""
+        if not enabled:
+            self.detail[f"{name}_skip_reason"] = "disabled via env"
+            return
+        at = _elapsed()
+        if at >= gate_s:
+            self.detail[f"{name}_skip_reason"] = (
+                f"budget: stage start at {at:.0f}s >= gate {gate_s:.0f}s")
+            return
+        t0 = time.perf_counter()
+        try:
+            self.detail.update(fn())
+        except Exception as exc:  # never fail the core bench
+            reason = f"error: {type(exc).__name__}: {exc}"
+            self.detail[f"{name}_skip_reason"] = reason[:300]
+            print(f"# {name} bench skipped: {reason}", file=sys.stderr,
+                  flush=True)
+        finally:
+            self.seconds[name] = round(time.perf_counter() - t0, 1)
+
+
+def main():
+    # persistent XLA/Mosaic compile cache (repo-local .jaxcache): the DCN
+    # kernels compile slowly through the remote-compile tunnel; cache hits
+    # make the driver's cold run start fast. Importing __graft_entry__
+    # installs it (its _enable_compile_cache runs at import).
+    import __graft_entry__ as ge
+
+    import jax
+    import jax.numpy as jnp
+
+    from centernet_uda_tpu.ops import dcn as dcn_ops
+    from centernet_uda_tpu.ops.decode import decode_detections
 
     backend_name = os.environ.get("BENCH_BACKEND", "dla")
     batch_size = int(os.environ.get("BENCH_BATCH", 16))
     input_size = int(os.environ.get("BENCH_SIZE", 512))
     steps = int(os.environ.get("BENCH_STEPS", 20))
     warmup = int(os.environ.get("BENCH_WARMUP", 3))
-    # optional-stage wall-clock budget, measured from process start. Any
-    # optional stage only *starts* while under budget, so one slow compile
-    # can never prevent the core JSON line from printing.
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "330"))
-    # pre-stage budget: the decode + per-op DCN micro-benches run BEFORE
-    # the main model compile (their programs are tiny — a starved pre-stage
-    # would mean the whole bench had no chance anyway), each gated so a
-    # slow pre-compile can only delay, not starve, the core line.
-    pre_budget_s = float(os.environ.get("BENCH_PRE_BUDGET_S", "150"))
-
-    import __graft_entry__ as ge
-    import jax.numpy as jnp
-
-    from centernet_uda_tpu.ops import dcn as dcn_ops
+    # start-gates (seconds from process start) per optional stage. The two
+    # cheap-compile micro-benches run FIRST with independent gates (a slow
+    # decode compile can no longer starve the DCN stage — VERDICT r04 #6);
+    # the expensive stages run after the core measurement.
+    gate_decode = float(os.environ.get("BENCH_GATE_DECODE_S", "120"))
+    gate_dcn = float(os.environ.get("BENCH_GATE_DCN_S", "210"))
+    gate_800 = float(os.environ.get("BENCH_GATE_800_S", "390"))
+    gate_pipe = float(os.environ.get("BENCH_GATE_PIPE_S", "450"))
 
     dcn_ops.set_pallas_default(os.environ.get("BENCH_DCN", "auto"))
 
@@ -145,45 +163,39 @@ def main():
     def sync(value):
         np.asarray(jax.tree.leaves(value)[0])
 
-    from centernet_uda_tpu.ops.decode import decode_detections
+    stages = _Stages()
 
-    # --- PRE-STAGE 1: decode latency (north-star metric; tiny compile) ---
+    # --- STAGE 1: decode latency (north-star metric; tiny compile) -------
     # pipelined mean over many calls: per-call sync through the axon tunnel
     # would measure the tunnel's ~0.6 ms dispatch latency, not the decode,
     # so a true p50 is not measurable here — the key says what it is.
-    decode_mean_ms = None
-    if os.environ.get("BENCH_DECODE", "1") == "1" and _elapsed() < pre_budget_s:
-        try:
-            hm_only = jax.jit(lambda hm, wh, reg: decode_detections(
-                hm, wh, reg, k=100, apply_sigmoid=True))
-            out_hw = input_size // 4
-            hm = jnp.zeros((batch_size, out_hw, out_hw, 6), jnp.float32)
-            whx = jnp.ones((batch_size, out_hw, out_hw, 2), jnp.float32)
-            regx = jnp.zeros((batch_size, out_hw, out_hw, 2), jnp.float32)
+    def _stage_decode():
+        hm_only = jax.jit(lambda hm, wh, reg: decode_detections(
+            hm, wh, reg, k=100, apply_sigmoid=True))
+        out_hw = input_size // 4
+        hm = jnp.zeros((batch_size, out_hw, out_hw, 6), jnp.float32)
+        whx = jnp.ones((batch_size, out_hw, out_hw, 2), jnp.float32)
+        regx = jnp.zeros((batch_size, out_hw, out_hw, 2), jnp.float32)
+        d = hm_only(hm, whx, regx)
+        sync(d)
+        n_dec = max(steps * 5, 50)
+        t0 = time.perf_counter()
+        for _ in range(n_dec):
             d = hm_only(hm, whx, regx)
-            sync(d)
-            n_dec = max(steps * 5, 50)
-            t0 = time.perf_counter()
-            for _ in range(n_dec):
-                d = hm_only(hm, whx, regx)
-            sync(d)
-            decode_mean_ms = (time.perf_counter() - t0) / n_dec * 1e3
-        except Exception as exc:  # never fail the core bench
-            print(f"# decode bench skipped: {exc}", file=sys.stderr,
-                  flush=True)
+        sync(d)
+        ms = (time.perf_counter() - t0) / n_dec * 1e3
+        return {"decode_mean_ms_pipelined": round(ms, 3)}
 
-    # --- PRE-STAGE 2: per-op DCN micro-bench (VERDICT r02 #7 / r03 #1:
-    # per-op numbers belong in the driver JSON). Hot DLA layer shape, both
-    # directions; a single-layer Mosaic compile, far cheaper than the full
-    # model's, and its timing can no longer be starved by the main compile.
-    dcn_fwd_ms = dcn_bwd_ms = None
-    if (backend_name == "dla" and os.environ.get("BENCH_DCN_OPS", "1") == "1"
-            and _elapsed() < pre_budget_s):
-        try:
-            dcn_fwd_ms, dcn_bwd_ms = _bench_dcn_ops(jax, jnp, sync, steps)
-        except Exception as exc:  # never fail the core bench
-            print(f"# dcn per-op bench skipped: {exc}", file=sys.stderr,
-                  flush=True)
+    stages.run("decode", os.environ.get("BENCH_DECODE", "1") == "1",
+               gate_decode, _stage_decode)
+
+    # --- STAGE 2: per-op DCN micro-bench (VERDICT r02 #7 / r03 #1 /
+    # r04 #2: per-op numbers belong in the driver JSON). Hot DLA layer
+    # shape, both directions; a single-layer Mosaic compile per direction.
+    stages.run("dcn_ops",
+               (backend_name == "dla"
+                and os.environ.get("BENCH_DCN_OPS", "1") == "1"),
+               gate_dcn, lambda: _bench_dcn_ops(jax, jnp, sync, steps))
 
     # --- core measurement: the full train + infer steps ------------------
     trainer = ge._build_trainer(
@@ -202,6 +214,7 @@ def main():
     }
 
     # --- training throughput -------------------------------------------
+    t_core = time.perf_counter()
     for _ in range(warmup):
         out = trainer.step(batch, is_training=True)
     sync(out["stats"]["total_loss"])
@@ -236,7 +249,38 @@ def main():
     sync(dets)
     infer_dt = time.perf_counter() - t0
     infer_ips = batch_size * steps / infer_dt
+    stages.seconds["core"] = round(time.perf_counter() - t_core, 1)
 
+    # --- STAGE 4: 800px eval-resolution inference (defaults.yaml:67): the
+    # stride-4 DCN layers run at W=200 through the select Pallas kernels.
+    def _stage_800():
+        b800 = max(batch_size // 2, 1)
+        x800 = jnp.asarray(
+            np.random.RandomState(0)
+            .randn(b800, 800, 800, 3).astype(np.float32))
+        d = infer(state.params, state.batch_stats, x800)
+        sync(d)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            d = infer(state.params, state.batch_stats, x800)
+        sync(d)
+        return {"infer_800px_images_per_sec": round(
+            b800 * steps / (time.perf_counter() - t0), 2)}
+
+    stages.run("infer_800px",
+               (os.environ.get("BENCH_800", "1") == "1"
+                and backend_name == "dla"),
+               gate_800, _stage_800)
+
+    # --- STAGE 5: host input-pipeline rate (aug + native encode +
+    # collate), per core. SURVEY §7 hard part #5: the host must outrun the
+    # device step rate. A JAX-free subprocess.
+    stages.run("pipeline",
+               os.environ.get("BENCH_PIPELINE", "1") == "1", gate_pipe,
+               lambda: {"pipeline_images_per_sec": round(
+                   _pipeline_rate(gate_pipe + 120.0 - _elapsed()), 2)})
+
+    # --- the single stdout JSON line -------------------------------------
     # combined train+infer images/sec/chip (harmonic-style: one train step
     # plus one inference pass per image)
     combined = 1.0 / (1.0 / train_ips + 1.0 / infer_ips)
@@ -262,6 +306,18 @@ def main():
         mfu_train = round(train_ips * gflops * 1e9 * 3 / peak, 4)
         mfu_infer = round(infer_ips * gflops * 1e9 / peak, 4)
     value = round(combined / n_chips, 2)
+    detail = {
+        "train_images_per_sec": round(train_ips, 2),
+        "infer_images_per_sec": round(infer_ips, 2),
+        "mfu_train": mfu_train,
+        "mfu_infer": mfu_infer,
+        "batch_size": batch_size,
+        "devices": n_chips,
+        "host_cores": os.cpu_count() or 1,
+        "platform": jax.devices()[0].platform,
+    }
+    detail.update(stages.detail)
+    detail["stage_seconds"] = stages.seconds
     result = {
         "metric": (f"{backend_name} {input_size}px train+infer throughput "
                    "(vs_baseline anchored to this rebuild's r01 driver "
@@ -269,64 +325,9 @@ def main():
         "value": value,
         "unit": "images/sec/chip",
         "vs_baseline": (round(value / r01_anchor, 2) if r01_anchor else None),
-        "detail": {
-            "train_images_per_sec": round(train_ips, 2),
-            "infer_images_per_sec": round(infer_ips, 2),
-            "mfu_train": mfu_train,
-            "mfu_infer": mfu_infer,
-            "decode_mean_ms_pipelined": (
-                round(decode_mean_ms, 3) if decode_mean_ms else None),
-            "dcn_fwd_ms": round(dcn_fwd_ms, 2) if dcn_fwd_ms else None,
-            "dcn_bwd_ms": round(dcn_bwd_ms, 2) if dcn_bwd_ms else None,
-            "batch_size": batch_size,
-            "devices": n_chips,
-            "host_cores": os.cpu_count() or 1,
-            "platform": jax.devices()[0].platform,
-        },
+        "detail": detail,
     }
     print(json.dumps(result), flush=True)
-
-    # ===== everything below runs AFTER the core JSON line and writes to
-    # stderr + outputs/bench_extra.json only =====
-    extra = {}
-
-    # 800px eval-resolution inference (configs/defaults.yaml:67): the
-    # stride-4 DCN layers run at W=200 through the select Pallas kernels.
-    # Default-on since round 4 (VERDICT r03 #8) — runs after the core line
-    # under the main budget.
-    if (os.environ.get("BENCH_800", "1") == "1" and backend_name == "dla"
-            and _elapsed() < budget_s):
-        b800 = max(batch_size // 2, 1)
-        x800 = jnp.asarray(
-            np.random.RandomState(0)
-            .randn(b800, 800, 800, 3).astype(np.float32))
-        dets = infer(state.params, state.batch_stats, x800)
-        sync(dets)
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            dets = infer(state.params, state.batch_stats, x800)
-        sync(dets)
-        extra["infer_800px_images_per_sec"] = round(
-            b800 * steps / (time.perf_counter() - t0), 2)
-
-    # host input-pipeline rate (aug + native encode + collate), per core.
-    # SURVEY §7 hard part #5: the host must outrun the device step rate.
-    # Default-on since round 4 (VERDICT r03 #9) — a JAX-free subprocess.
-    if os.environ.get("BENCH_PIPELINE", "1") == "1" and _elapsed() < budget_s:
-        try:
-            extra["pipeline_images_per_sec"] = round(_pipeline_rate(), 2)
-        except Exception as exc:
-            print(f"# pipeline bench skipped: {exc}", file=sys.stderr,
-                  flush=True)
-
-    if extra:
-        print(json.dumps({"extra": extra}), file=sys.stderr, flush=True)
-        try:
-            os.makedirs("outputs", exist_ok=True)
-            with open("outputs/bench_extra.json", "w") as f:
-                json.dump(extra, f, indent=2)
-        except OSError:
-            pass
 
 
 def _bench_dcn_ops(jax, jnp, sync, steps):
@@ -385,7 +386,7 @@ def _bench_dcn_ops(jax, jnp, sync, steps):
     sync(g)
     # fwd+bwd minus fwd ≈ bwd alone
     bwd_ms = max((time.perf_counter() - t0) / steps * 1e3 - fwd_ms, 0.0)
-    return fwd_ms, bwd_ms
+    return {"dcn_fwd_ms": round(fwd_ms, 2), "dcn_bwd_ms": round(bwd_ms, 2)}
 
 
 if __name__ == "__main__":

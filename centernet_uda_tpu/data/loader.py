@@ -81,13 +81,15 @@ class DataLoader:
 
         ``pad_last``: instead of a short final batch, pad it to
         ``batch_size`` by repeating samples and record the real count in
-        the batch as ``_num_real``. Keeps every sample OF THIS SHARD
-        while every batch stays mesh-divisible and hits the same
-        compiled executable. Caveat: with ``num_shards > 1`` the shards
-        are truncated to equal length first (``_shard_indices``), so the
-        final ``len(dataset) % num_shards`` samples are not yielded by
-        any shard — multi-host eval covers the full split only when
-        ``num_shards`` divides the dataset size."""
+        the batch as ``_num_real``. Keeps every sample while every batch
+        stays mesh-divisible and hits the same compiled executable. With
+        ``num_shards > 1`` the shards are strided (``indices[shard::n]``)
+        so ALL ``len(dataset)`` samples are yielded exactly once across
+        shards (the reference evaluates the full split,
+        evaluation/coco.py:84-121), and every shard emits the SAME number
+        of batches — a shard that runs out of real samples emits fully
+        padded batches (``_num_real == 0``) so multi-host collectives stay
+        in lockstep."""
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = bool(shuffle)
@@ -109,16 +111,28 @@ class DataLoader:
         if self.shuffle:
             self.rng.shuffle(indices)
         if self.num_shards > 1:
-            per_shard = len(indices) // self.num_shards
-            indices = indices[self.shard_id * per_shard:
-                              (self.shard_id + 1) * per_shard]
+            if self.pad_last:
+                # strided: shard lengths differ by at most 1 and the union
+                # covers every sample exactly once (full-split eval)
+                indices = indices[self.shard_id::self.num_shards]
+            else:
+                per_shard = len(indices) // self.num_shards
+                indices = indices[self.shard_id * per_shard:
+                                  (self.shard_id + 1) * per_shard]
         return indices
 
-    def __len__(self) -> int:
+    def _shard_batches(self) -> int:
+        """Number of batches every shard emits (identical across shards)."""
+        if self.pad_last:
+            longest = -(-len(self.dataset) // self.num_shards)
+            return -(-longest // self.batch_size) if longest else 0
         n = len(self.dataset) // self.num_shards
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
+
+    def __len__(self) -> int:
+        return self._shard_batches()
 
     def _index_batches(self):
         """Yield (index_array, n_real) batches; n_real < batch_size only for
@@ -127,6 +141,7 @@ class DataLoader:
         if self.drop_last:
             usable = (len(indices) // self.batch_size) * self.batch_size
             indices = indices[:usable]
+        n_batches = 0
         for start in range(0, len(indices), self.batch_size):
             idx = indices[start : start + self.batch_size]
             n_real = len(idx)
@@ -134,7 +149,16 @@ class DataLoader:
                 # repeat real samples to fill; consumers slice with _num_real
                 reps = -(-self.batch_size // n_real)
                 idx = np.tile(idx, reps)[: self.batch_size]
+            n_batches += 1
             yield idx, n_real
+        if self.pad_last:
+            # a shorter shard emits fully padded batches (n_real=0) until it
+            # matches the longest shard's batch count, keeping multi-host
+            # collectives in lockstep while the evaluator sees no duplicates
+            fill = int(indices[0]) if len(indices) else 0
+            idx = np.full((self.batch_size,), fill, dtype=np.int64)
+            for _ in range(n_batches, self._shard_batches()):
+                yield idx, 0
 
     @staticmethod
     def _finish(samples, n_real: int) -> Dict[str, np.ndarray]:

@@ -89,6 +89,18 @@ def get_kernel_version() -> str:
     return _KERNEL_VERSION
 
 
+def _resolve_interpret(interpret) -> bool:
+    """``None`` -> interpret mode iff the default backend is CPU.
+
+    The Mosaic kernels only lower on TPU; resolving at the dispatch layer
+    lets the in-model Pallas path (``ops.dcn.DCN`` with ``dcn_impl: pallas``)
+    run the SAME code interpreted in CPU tests — e.g. the eval-time
+    clamp-degrade test — instead of failing to lower."""
+    if interpret is None:
+        return jax.default_backend() == "cpu"
+    return bool(interpret)
+
+
 def generation_for(x_shape) -> str:
     """Which kernel generation handles a (B, H, W, Cin) map.
 
@@ -318,10 +330,11 @@ def dcn_v2_pallas(
     weight: jax.Array,
     bias: jax.Array | None = None,
     max_shift: int = 14,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """Pallas DCNv2 forward — dispatches per shape to the active kernel
     generation (``generation_for`` / ``set_kernel_version``)."""
+    interpret = _resolve_interpret(interpret)
     if generation_for(x.shape) == "select":
         return dcn_v2_pallas_select(x, offset, mask, weight, bias,
                                     max_shift=max_shift, interpret=interpret)
@@ -336,9 +349,10 @@ def dcn_v2_pallas_bwd(
     weight: jax.Array,
     g: jax.Array,
     max_shift: int = 14,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ):
     """Pallas DCNv2 backward — dispatches like ``dcn_v2_pallas``."""
+    interpret = _resolve_interpret(interpret)
     if generation_for(x.shape) == "select":
         return dcn_v2_pallas_bwd_select(x, offset, mask, weight, g,
                                         max_shift=max_shift,
@@ -1038,12 +1052,13 @@ def dcn_v2_pallas_lanes_fused(
     weight: jax.Array,
     bias: jax.Array | None = None,
     max_shift: int = 14,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ):
     """Fused-offset-conv lanes forward: x (B,H,W,Cin) NHWC, om_kernel
     (3,3,Cin,27) HWIO (the reference ``conv_offset_mask`` layout: channels
     = 9 dy, 9 dx, 9 mask logits), om_bias (27,), weight (3,3,Cin,Cout).
     Returns ``(out (B,H,W,Cout) in x.dtype, max_abs_dy scalar f32)``."""
+    interpret = _resolve_interpret(interpret)
     b, h, w, cin = x.shape
     kh, kw, _, cout = weight.shape
     assert (kh, kw) == (3, 3), "pallas DCN kernel is 3x3 only"
@@ -1322,12 +1337,13 @@ def dcn_v2_pallas_bwd_lanes_fused(
     weight: jax.Array,
     g: jax.Array,
     max_shift: int = 14,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ):
     """Gradients of ``dcn_v2_pallas_lanes_fused`` w.r.t.
     (x, om_kernel, om_bias, weight, bias) — the sampling gradients AND the
     offset conv's backward in one kernel; offsets/masks never exist in
     HBM. The stat output has no gradient (monitor only)."""
+    interpret = _resolve_interpret(interpret)
     b, h, w, cin = x.shape
     cout = weight.shape[3]
     pad_rows = max_shift + 2

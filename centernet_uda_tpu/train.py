@@ -208,6 +208,7 @@ def _run_phase(trainer, loader, evaluators, tb_logger, stats, epoch, tag,
 
     def flush_pending():
         nonlocal clamp_warned
+        degraded = False
         for dev_stats, n_w in pending:
             for k, v in dev_stats.items():
                 log_key = f"{tag}/{k}"
@@ -220,7 +221,7 @@ def _run_phase(trainer, loader, evaluators, tb_logger, stats, epoch, tag,
                 if k == "dcn_max_abs_dy":
                     # AT the clamp: the numbers are already truncating —
                     # auto-degrade to the exact XLA path (uda/base.py)
-                    trainer.maybe_degrade_dcn(value)
+                    degraded |= trainer.maybe_degrade_dcn(value)
                     if (not clamp_warned
                             and value >= 0.9 * dcn_ops.PALLAS_MAX_SHIFT):
                         clamp_warned = True
@@ -231,6 +232,7 @@ def _run_phase(trainer, loader, evaluators, tb_logger, stats, epoch, tag,
                             "clamp is hit; consider dcn_impl=xla outright.",
                             value, dcn_ops.PALLAS_MAX_SHIFT)
         pending.clear()
+        return degraded
 
     for data in loader:
         # jax.profiler trace of the first N train steps of the first epoch
@@ -257,7 +259,13 @@ def _run_phase(trainer, loader, evaluators, tb_logger, stats, epoch, tag,
 
         pending.append((outputs["stats"], n_real))
         if not is_training or len(pending) >= STATS_FLUSH:
-            flush_pending()
+            if flush_pending() and not is_training:
+                # this batch's outputs were computed on the truncating
+                # Pallas kernels — recompute on the exact XLA path the
+                # degrade just installed so its detections are correct
+                # (the truncated stats were already logged; one batch of
+                # loss meters is noise, the detections are not)
+                outputs = trainer.step(data, is_training=False)
 
         if not is_training:
             detections = trainer.get_detections(outputs, data)

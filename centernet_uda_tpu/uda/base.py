@@ -190,7 +190,18 @@ class Model:
                 outputs = dict(outputs)
                 outputs["_dcn_max_abs_dy"] = jnp.max(jnp.stack(sown))
             return outputs, new_state["batch_stats"]
-        outputs = self.backend.module.apply(variables, x, train=False)
+        # eval forwards collect the same clamp monitor as training: a
+        # test_only/validation run with imported weights whose offsets
+        # exceed the Pallas clamp must degrade loudly, never truncate
+        # silently (the reference sampler is unbounded,
+        # src/cuda/dcn_v2_im2col_cuda.cu:25-54)
+        outputs, sown_state = self.backend.module.apply(
+            variables, x, train=False, mutable=["intermediates"]
+        )
+        sown = jax.tree.leaves(sown_state.get("intermediates", {}))
+        if sown:
+            outputs = dict(outputs)
+            outputs["_dcn_max_abs_dy"] = jnp.max(jnp.stack(sown))
         return outputs, batch_stats
 
     def loss_terms(self, params, batch_stats, batch, train: bool, rng=None):
@@ -259,6 +270,7 @@ class Model:
             )
             stats = dict(stats)
             stats["total_loss"] = loss
+            self._fold_clamp_stats(outputs, stats)
             return outputs, stats
 
         return eval_step

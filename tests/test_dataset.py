@@ -193,3 +193,52 @@ def test_loader_pad_last_with_workers(tiny_coco):
     assert len(batches) == 2
     assert int(batches[1]["_num_real"]) == 1
     assert batches[1]["input"].shape[0] == 3
+
+
+def test_loader_sharded_pad_last_full_split(tmp_path):
+    """Multi-host eval must cover the FULL split: with pad_last, shards are
+    strided so every sample reaches the evaluator exactly once even when
+    num_shards does not divide the dataset size (the reference evaluates
+    every sample, evaluation/coco.py:84-121)."""
+    root = make_tiny_coco(tmp_path, num_images=10, size=(64, 64),
+                          num_classes=3)
+    ds = make_dataset(root)
+    seen, counts = [], []
+    for i in range(3):
+        loader = DataLoader(ds, batch_size=4, pad_last=True,
+                            shard_id=i, num_shards=3)
+        batches = list(loader)
+        counts.append(len(batches))
+        assert len(batches) == len(loader)
+        for b in batches:
+            assert b["input"].shape[0] == 4  # always mesh-divisible
+            n_real = int(b.get("_num_real", b["id"].shape[0]))
+            seen.extend(int(x) for x in b["id"][:n_real])
+    # every shard emits the same number of batches (collective lockstep)
+    assert len(set(counts)) == 1
+    # every sample exactly once across shards
+    assert sorted(seen) == list(range(1, 11))
+
+
+def test_loader_sharded_pad_last_lockstep_tail(tmp_path):
+    """A shard whose samples fill fewer batches than the longest shard emits
+    fully padded batches (_num_real == 0) so every host runs the same number
+    of steps."""
+    root = make_tiny_coco(tmp_path, num_images=9, size=(64, 64),
+                          num_classes=3)
+    ds = make_dataset(root)
+    # shards of 5 and 4 samples at batch 4 -> 2 batches each
+    per_shard = []
+    seen = []
+    for i in range(2):
+        loader = DataLoader(ds, batch_size=4, pad_last=True,
+                            shard_id=i, num_shards=2)
+        batches = list(loader)
+        per_shard.append(batches)
+        for b in batches:
+            n_real = int(b.get("_num_real", b["id"].shape[0]))
+            seen.extend(int(x) for x in b["id"][:n_real])
+    assert len(per_shard[0]) == 2 and len(per_shard[1]) == 2
+    # shard 1 has 4 real samples -> its 2nd batch is pure padding
+    assert int(per_shard[1][1]["_num_real"]) == 0
+    assert sorted(seen) == list(range(1, 10))

@@ -369,3 +369,60 @@ def test_clamp_saturation_degrades_to_exact_xla():
         assert "dcn_max_abs_dy" not in out["stats"]
     finally:
         dcn_mod.set_pallas_default(old)
+
+
+def test_eval_clamp_saturation_degrades_to_exact_xla(caplog):
+    """VERDICT r04 #4: a test_only/eval run on the Pallas path with imported
+    weights whose offsets exceed the clamp must degrade LOUDLY to the exact
+    XLA path (reference sampling is unbounded,
+    src/cuda/dcn_v2_im2col_cuda.cu:25-54), never truncate silently. The
+    monitor is sown in eval forwards (uda/base.py::_apply_backend) and
+    consumed by the validation loop (train.py::_run_phase)."""
+    import logging
+
+    import __graft_entry__ as ge
+    import centernet_uda_tpu.ops.dcn as dcn_mod
+    from centernet_uda_tpu.train import _run_phase
+
+    old = dcn_mod.get_pallas_default()
+    try:
+        dcn_mod.set_pallas_default("pallas")
+        trainer = ge._build_trainer(batch_size=2, input_size=64)
+        trainer.init_done()
+
+        # simulate imported weights with runaway learned offsets: push every
+        # conv_offset_mask bias (offset channels included) past the clamp
+        big = 3.0 * dcn_mod.PALLAS_MAX_SHIFT
+
+        def boost(tree):
+            out = {}
+            for k, v in tree.items():
+                if k == "conv_offset_mask" and isinstance(v, dict):
+                    v = dict(v)
+                    v["bias"] = jnp.full_like(v["bias"], big)
+                    out[k] = v
+                elif isinstance(v, dict):
+                    out[k] = boost(v)
+                else:
+                    out[k] = v
+            return out
+
+        trainer.state = trainer.state.replace(
+            params=boost(trainer.state.params))
+
+        # 1) the eval step itself surfaces the monitor
+        out = trainer.step(ge._tiny_batch(2, 64), is_training=False)
+        assert "dcn_max_abs_dy" in out["stats"]
+        assert float(out["stats"]["dcn_max_abs_dy"]) >= dcn_mod.PALLAS_MAX_SHIFT
+
+        # 2) the validation loop degrades loudly and recomputes the batch
+        with caplog.at_level(logging.ERROR,
+                             logger="centernet_uda_tpu.uda.base"):
+            stats = _run_phase(
+                trainer, [ge._tiny_batch(2, 64)], [], None, {}, 1,
+                "validation", is_training=False)
+        assert not dcn_mod.get_pallas_default()  # switched to exact XLA
+        assert any("AT the Pallas clamp" in r.message for r in caplog.records)
+        assert "validation/total_loss" in stats
+    finally:
+        dcn_mod.set_pallas_default(old)

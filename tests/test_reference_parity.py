@@ -931,3 +931,125 @@ def test_mobilenetv2_skips_match_reference_forward(reference_backends,
         ref_out = ref(torch.from_numpy(x))
     flax_out = _flax_forward(backend, variables, x)
     _compare_heads(ref_out, flax_out, atol=5e-4)
+
+
+def test_training_trajectory_matches_reference(reference_backends, tmp_path):
+    """TRAINING-TRAJECTORY parity (VERDICT r04 #3): N Adam optimizer steps
+    side by side from an identical ``.pth``-imported init on identical
+    data — the reference's torch step (uda/base.py:31-56: zero_grad /
+    forward / DetectionLoss / backward / Adam.step, train-mode BN) vs the
+    rebuild's jitted train step machinery (value_and_grad + optax Adam +
+    mutable batch_stats). Asserting the LOSS trajectories track pins the
+    semantics between "one step's gradients match"
+    (test_resnet18_gradients_match_reference) and "mAP matches": Adam's
+    bias correction/eps placement, BN train-mode statistics + momentum
+    (torch 0.1 == flax 0.9), and the update application order. Reference
+    bar: train.py:149-226, configs/defaults.yaml:86-89 (Adam lr 5e-5)."""
+    import jax.numpy as jnp
+
+    from centernet_uda_tpu.losses.centernet import DetectionLoss
+    from centernet_uda_tpu.utils import optim as optim_util
+
+    torch_twins.seed_all(31)
+    ref_mod = reference_backends["resnet"]
+    ref = ref_mod.build(num_layers=18, num_classes=3, pretrained=False)
+    ref.train()  # the reference trains with live BN batch stats
+    ckpt = tmp_path / "ref_r18_traj.pth"
+    _save_reference_ckpt(ref, ckpt)
+
+    backend = models.build("resnet", num_layers=18, num_classes=3,
+                           pretrained=False)
+    variables = backend.init(jax.random.PRNGKey(0), (64, 64))
+    variables = ti.import_state_dict(str(ckpt), variables, "resnet18")
+
+    # deterministic batch stream (distinct batches: BN statistics and the
+    # Adam second moment must track across DIFFERENT data, not one batch)
+    rng = np.random.RandomState(31)
+    n_steps, b, c, hw, k = 6, 2, 3, 16, 6
+    batches = []
+    for _ in range(n_steps):
+        hm_t = np.zeros((b, c, hw, hw), np.float32)
+        for bi in range(b):
+            for _ in range(3):
+                hm_t[bi, rng.randint(c), rng.randint(hw), rng.randint(hw)] = 1.0
+        hm_t = np.maximum(hm_t, rng.rand(b, c, hw, hw).astype(np.float32) * 0.5)
+        batches.append({
+            "input": rng.randn(b, 3, 64, 64).astype(np.float32),
+            "hm": hm_t,
+            "ind": rng.randint(0, hw * hw, (b, k)).astype(np.int64),
+            "reg_mask": (rng.rand(b, k) > 0.3).astype(np.float32),
+            "wh": np.abs(rng.randn(b, k, 2)).astype(np.float32) * 3,
+            "reg": rng.randn(b, k, 2).astype(np.float32) * 0.5,
+        })
+
+    # the reference's default lr (configs/defaults.yaml:86-89). At larger
+    # lr (1e-3) the trajectories still track but wobble 1-4% per step:
+    # the focal loss's log terms amplify f32 cross-implementation noise
+    # chaotically once the updates are big — measured non-systematic
+    # (diffs do not grow monotonically), so the parity-relevant setting
+    # is the reference's own.
+    lr = 5e-5
+
+    # --- torch side: the reference training step ------------------------
+    sys.modules.pop("losses", None)
+    sys.modules.pop("losses.centernet", None)
+    import losses.centernet as ref_losses  # noqa: E402
+
+    crit = ref_losses.DetectionLoss(hm_weight=1.0, wh_weight=0.1,
+                                    off_weight=1.0)
+    opt = torch.optim.Adam(ref.parameters(), lr=lr)
+    ref_losses_seq = []
+    for batch in batches:
+        opt.zero_grad()
+        out = ref(torch.from_numpy(batch["input"]))
+        t_batch = {kk: torch.from_numpy(vv) for kk, vv in batch.items()
+                   if kk != "input"}
+        loss, _ = crit(out, t_batch)
+        loss.backward()
+        opt.step()
+        ref_losses_seq.append(float(loss.detach()))
+
+    # --- jax side: the rebuild's train-step machinery --------------------
+    ours = DetectionLoss(hm_weight=1.0, wh_weight=0.1, off_weight=1.0)
+    tx = optim_util.make_optimizer("Adam", {"lr": lr}, None)
+    params = variables["params"]
+    batch_stats = variables["batch_stats"]
+    opt_state = jax.jit(tx.init)(params)
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, batch):
+        def loss_fn(p):
+            outputs, new_state = backend.module.apply(
+                {"params": p, "batch_stats": batch_stats},
+                batch["input"], train=True, mutable=["batch_stats"])
+            total, _ = ours(outputs, batch)
+            return total, new_state["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        import optax
+
+        return optax.apply_updates(params, updates), new_bs, new_opt, loss
+
+    got_losses = []
+    for batch in batches:
+        j_batch = {
+            **{kk: vv for kk, vv in batch.items() if kk != "input"},
+            "input": np.transpose(batch["input"], (0, 2, 3, 1)),
+            "hm": np.transpose(batch["hm"], (0, 2, 3, 1)),
+        }
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state, j_batch)
+        got_losses.append(float(loss))
+
+    # the trajectory must move (non-vacuous) and track the reference
+    assert abs(ref_losses_seq[0] - ref_losses_seq[-1]) > 1e-3
+    for i, (ref_l, got_l) in enumerate(zip(ref_losses_seq, got_losses)):
+        rel = abs(ref_l - got_l) / (abs(ref_l) + 1e-12)
+        assert rel < 2e-2, (
+            f"loss trajectory diverges at step {i}: torch={ref_losses_seq} "
+            f"jax={got_losses}")
+
+    sys.modules.pop("losses", None)
+    sys.modules.pop("losses.centernet", None)

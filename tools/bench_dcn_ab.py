@@ -7,15 +7,9 @@ Used to pick the per-shape dispatch tier in ops/dcn.py.
 import os, sys, time
 from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-# the image preloads jax before this line runs, so the env var is a
-# no-op; the runtime config update is what enables the cache
-import jax as _jax_for_cache
-
-_jax_for_cache.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                   str(Path(__file__).resolve().parent.parent / ".jaxcache")))
-_jax_for_cache.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# shared, guarded compile-cache helper (repo root already on sys.path):
+# importing __graft_entry__ enables the .jaxcache compile cache
+import __graft_entry__  # noqa: F401
 
 import jax, jax.numpy as jnp
 import numpy as np

@@ -6,6 +6,8 @@ test_dataset.py; these cover the straggler set added for user-YAML breadth
 instantiates any imgaug name by reflection, utils/helper.py:53-71).
 """
 
+import math
+
 import numpy as np
 import pytest
 
@@ -190,3 +192,146 @@ def test_shear_y_keeps_center_column(rng):
     np.testing.assert_allclose(k[0], [32.0, 10.0], atol=1e-4)
     np.testing.assert_allclose(k[:, 0], [32.0, 0.0], atol=1e-4)
     assert abs(k[1, 1] - 10.0) > 1.0  # off-center columns DO shear
+
+
+# ---------------------------------------------------------------------------
+# Golden-fixture geometry tests (VERDICT r04 #7): the mAP-parity chain
+# depends on these augmenters reproducing imgaug's documented box-refit
+# semantics — Affine transforms the 4 corners and takes the axis-aligned
+# envelope, Crop(keep_size) shifts+rescales, flips mirror at W/H (no -1),
+# and NO augmenter clips boxes to the image (the dataset clips at encode
+# time, datasets/coco.py:196-201 via clip_out_of_image + np.clip). imgaug
+# itself cannot be installed to diff against, so the expected values are
+# derived analytically from its documented matrices.
+# ---------------------------------------------------------------------------
+
+
+def test_affine_rotate90_box_envelope_golden(rng):
+    """rotate=90 about the center of a 100x100 image: (x, y) -> (100-y, x)
+    (imgaug/skimage rotation matrix [[cos,-sin],[sin,cos]] about center).
+    Box (10,20,30,60) -> corner images {(80,10),(80,30),(40,30),(40,10)}
+    -> envelope (40,10,80,30)."""
+    from centernet_uda_tpu.data.augment import Affine
+
+    img2 = np.zeros((100, 100, 3), np.uint8)
+    boxes = np.array([[10.0, 20.0, 30.0, 60.0]], np.float32)
+    kps = np.array([[10.0, 20.0], [30.0, 60.0]], np.float32)
+    _, b, k = Affine(rotate=90).apply(img2, boxes, kps, rng)
+    np.testing.assert_allclose(b, [[40.0, 10.0, 80.0, 30.0]], atol=1e-3)
+    np.testing.assert_allclose(k, [[80.0, 10.0], [40.0, 30.0]], atol=1e-3)
+
+
+def test_affine_rotate45_square_envelope_golden(rng):
+    """A centered square under 45 deg rotation grows its envelope by
+    sqrt(2) — the corner-envelope refit, NOT a clipped or area-preserving
+    fit."""
+    from centernet_uda_tpu.data.augment import Affine
+
+    img2 = np.zeros((100, 100, 3), np.uint8)
+    boxes = np.array([[40.0, 40.0, 60.0, 60.0]], np.float32)
+    _, b, _ = Affine(rotate=45).apply(img2, boxes, None, rng)
+    d = 10.0 * math.sqrt(2.0)
+    np.testing.assert_allclose(
+        b, [[50 - d, 50 - d, 50 + d, 50 + d]], atol=1e-3)
+
+
+def test_affine_translate_keeps_out_of_image_boxes(rng):
+    """Translation pushes a border box outside the image; the augmenter
+    must report the true (out-of-image) coordinates — clipping happens at
+    target-encode time (datasets/coco.py:196-201), not here. The scalar
+    translate_percent also samples ONE fraction applied to both axes
+    (imgaug semantics)."""
+    from centernet_uda_tpu.data.augment import Affine
+
+    img2 = np.zeros((100, 100, 3), np.uint8)
+    boxes = np.array([[90.0, 90.0, 99.0, 99.0]], np.float32)
+    _, b, _ = Affine(translate_percent=0.2).apply(img2, boxes, None, rng)
+    np.testing.assert_allclose(b, [[110.0, 110.0, 119.0, 119.0]], atol=1e-3)
+
+
+def test_affine_degenerate_box_stays_finite(rng):
+    """A zero-width box survives the corner-envelope refit as a valid
+    zero-width box (no NaN, no swap); the dataset later drops it via the
+    h > 0 and w > 0 gate (datasets/coco.py:202)."""
+    from centernet_uda_tpu.data.augment import Affine
+
+    img2 = np.zeros((100, 100, 3), np.uint8)
+    boxes = np.array([[10.0, 20.0, 10.0, 60.0]], np.float32)
+    _, b, _ = Affine(rotate=90).apply(img2, boxes, None, rng)
+    assert np.all(np.isfinite(b))
+    assert b[0, 2] >= b[0, 0] and b[0, 3] >= b[0, 1]
+    # rotated zero-width segment -> zero-height envelope of length 40
+    np.testing.assert_allclose(b, [[40.0, 10.0, 80.0, 10.0]], atol=1e-3)
+
+
+def test_crop_keep_size_box_golden(rng):
+    """Crop(percent=0.1, sample_independently=False, keep_size): 10px off
+    each side of 100x100, resized back -> x' = (x-10)*1.25."""
+    from centernet_uda_tpu.data.augment import Crop
+
+    img2 = np.zeros((100, 100, 3), np.uint8)
+    boxes = np.array([[20.0, 40.0, 60.0, 80.0]], np.float32)
+    out, b, _ = Crop(percent=0.1, sample_independently=False).apply(
+        img2, boxes, None, rng)
+    assert out.shape == (100, 100, 3)  # keep_size
+    np.testing.assert_allclose(b, [[12.5, 37.5, 62.5, 87.5]], atol=1e-3)
+
+
+def test_rotate_then_crop_composition_golden(rng):
+    """Sequential([rotate 90, crop 10%]) composes left-to-right: the crop
+    rescale applies to the rotated envelope."""
+    from centernet_uda_tpu.data.augment import Affine, Crop, Sequential
+
+    img2 = np.zeros((100, 100, 3), np.uint8)
+    boxes = np.array([[10.0, 20.0, 30.0, 60.0]], np.float32)
+    seq = Sequential([Affine(rotate=90),
+                      Crop(percent=0.1, sample_independently=False)])
+    _, b, _ = seq.apply(img2, boxes, None, rng)
+    # rotate: (40,10,80,30); crop: ((v-10)*1.25)
+    np.testing.assert_allclose(b, [[37.5, 0.0, 87.5, 25.0]], atol=1e-3)
+
+
+def test_flip_border_boxes_golden(rng):
+    """Flips mirror at W (resp. H), not W-1: imgaug BoundingBox.fliplr
+    maps x -> width - x."""
+    from centernet_uda_tpu.data.augment import Fliplr, Flipud
+
+    img2 = np.zeros((50, 100, 3), np.uint8)
+    boxes = np.array([[0.0, 10.0, 20.0, 30.0]], np.float32)
+    _, b, _ = Fliplr(p=1.0).apply(img2, boxes, None, rng)
+    np.testing.assert_allclose(b, [[80.0, 10.0, 100.0, 30.0]], atol=1e-4)
+    _, b2, _ = Flipud(p=1.0).apply(img2, b, None, rng)
+    np.testing.assert_allclose(b2, [[80.0, 20.0, 100.0, 40.0]], atol=1e-4)
+
+
+@pytest.mark.parametrize("make_aug", [
+    lambda: __import__(
+        "centernet_uda_tpu.data.augment", fromlist=["Affine"]
+    ).Affine(rotate=(-30, 30), scale=(0.8, 1.2),
+             translate_percent=(-0.1, 0.1), shear=(-10, 10)),
+    lambda: __import__(
+        "centernet_uda_tpu.data.augment", fromlist=["PerspectiveTransform"]
+    ).PerspectiveTransform(scale=0.08),
+    lambda: __import__(
+        "centernet_uda_tpu.data.augment", fromlist=["Crop"]
+    ).Crop(percent=(0.0, 0.2)),
+])
+def test_box_equals_corner_keypoint_envelope(make_aug):
+    """Property pinning the refit rule for EVERY geometric augmenter: a
+    box's transformed envelope equals the envelope of its 4 corners
+    transformed as keypoints within the same call (imgaug's documented
+    BoundingBox behavior: it IS the corner envelope)."""
+    aug = make_aug()
+    for seed in range(5):
+        rng2 = np.random.RandomState(seed)
+        img2 = np.zeros((80, 120, 3), np.uint8)
+        boxes = np.array([[10.0, 15.0, 60.0, 50.0],
+                          [0.0, 0.0, 119.0, 79.0]], np.float32)
+        corners = np.stack([
+            boxes[:, [0, 1]], boxes[:, [2, 1]],
+            boxes[:, [2, 3]], boxes[:, [0, 3]],
+        ], axis=1).reshape(-1, 2).astype(np.float32)
+        _, b, k = aug.apply(img2, boxes, corners, rng2)
+        k = k.reshape(-1, 4, 2)
+        expect = np.concatenate([k.min(axis=1), k.max(axis=1)], axis=1)
+        np.testing.assert_allclose(b, expect, atol=1e-2, err_msg=str(aug))

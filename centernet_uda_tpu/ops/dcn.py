@@ -83,10 +83,11 @@ def _pallas_supported(x, weight, stride, padding, dilation) -> bool:
     Geometry: 3x3 / s1 / p1 / d1 — the configuration every reference
     backend uses. Per-shape routing (``dcn_pallas.generation_for``,
     default "auto"): the measured-fastest "lanes" kernels inside their
-    native envelope (8 <= W <= 128, Cin <= 512), the "select" one-hot
-    kernels — no width or channel special cases beyond a VMEM estimate —
-    everywhere else. Forced "lanes" keeps its wider panel-forward
-    envelope (W <= 1024) for A/B runs.
+    native envelope (8 <= W <= 256 — Mosaic lane-tiles widths past 128 —
+    Cin <= 512), the "select" one-hot kernels — no width or channel
+    special cases beyond a VMEM estimate — everywhere else. Forced
+    "lanes" keeps its wider panel-forward envelope (W <= 1024) for A/B
+    runs.
     """
     from centernet_uda_tpu.ops import dcn_pallas
 
@@ -173,12 +174,12 @@ def _note_pallas_fallbacks(x, cin: int, requested_pallas: bool,
                 x, cin,
                 "unsupported geometry for the Pallas kernel (needs 3x3 / "
                 "stride 1 / pad 1 / dilation 1, 8 <= W <= 1024); XLA path")
-    elif gen == "lanes" and w > 128:
+    elif gen == "lanes" and w > dp._LANES_NATIVE_MAX_W:
         _warn_slow_path(
             x, cin,
-            f"W={w} > 128: forward runs panel-tiled Pallas, but the "
-            "backward differentiates through the XLA formulation "
-            "(ops/dcn.py:_dcn_pallas_bwd)")
+            f"W={w} > {dp._LANES_NATIVE_MAX_W}: forward runs panel-tiled "
+            "Pallas, but the backward differentiates through the XLA "
+            "formulation (ops/dcn.py:_dcn_pallas_bwd)")
 
 
 @jax.custom_vjp
@@ -205,7 +206,8 @@ def _dcn_pallas_bwd(res, g):
     from centernet_uda_tpu.ops import dcn_pallas as dp
 
     x, offset, mask, weight, bias = res
-    if dp.generation_for(x.shape) == "lanes" and x.shape[2] > 128:
+    if (dp.generation_for(x.shape) == "lanes"
+            and x.shape[2] > dp._LANES_NATIVE_MAX_W):
         def ref(x, offset, mask, weight, bias):
             k = mask.shape[-1]
             off = offset.reshape(offset.shape[:-1] + (k, 2))

@@ -29,17 +29,20 @@ uses (backends/dla.py:358-367, backends/mobilenetv2.py:146-148).
 
 TWO kernel generations live here; the default "auto" mode routes each map
 shape to the measured-fastest one (``generation_for``):
-- "lanes" (this banner's design, fastest inside its envelope): W <= 128
-  native (small maps lane-pack several images per 128-lane register row,
-  ``_pack_factor``), Cin <= 512. Auto routes every such shape here.
-  Forced-lanes also panel-tiles W > 128 forwards.
+- "lanes" (this banner's design, fastest inside its envelope): W <= 256
+  native — Mosaic tiles the lane axis, so widths past 128 run as two lane
+  tiles with EXACT horizontal sampling (the 800px eval pyramid's W=200
+  maps; measured faster than select in both directions on v5e, round 5).
+  Small maps lane-pack several images per 128-lane register row
+  (``_pack_factor``); Cin <= 512. Auto routes every such shape here.
+  Forced-lanes also panel-tiles W > 256 forwards (horizontal clamp there).
 - "select" (section banner further down): the same one-hot-matmul idea in
   the native NHWC layout — no transposes, no width/Cin special cases,
-  fused backward everywhere, exact horizontal sampling. Auto routes wide
-  eval maps (800px pyramid, W=200) and deep heads (MobileNetV2's
-  Cin=1280) here; measured over the XLA formulation and a retired
-  sublane-roll generation ("nhwc", git history: superseded 5.8x/3.5x at
-  4x200x200x64 std=1.0) at every offset scale.
+  fused backward everywhere, exact horizontal sampling. Auto routes
+  W > 256 maps and deep heads (MobileNetV2's Cin=1280) here; measured
+  over the XLA formulation and a retired sublane-roll generation ("nhwc",
+  git history: superseded 5.8x/3.5x at 4x200x200x64 std=1.0) at every
+  offset scale.
 
 Vertical offsets are clamped to ``max_shift`` (default 14) pixels — while
 the reference CUDA kernel allows unbounded offsets; trained CenterNet
@@ -101,20 +104,29 @@ def _resolve_interpret(interpret) -> bool:
     return bool(interpret)
 
 
+# native lane extent of the lanes kernels: Mosaic tiles the lane axis, so
+# widths up to two 128-lane tiles run natively (no overlapping panels, no
+# horizontal clamp). Measured at 8x200x200x64 on v5e (round 5): native
+# lanes beat both the panel-tiled forward and the select generation in
+# both directions — see BASELINE.md.
+_LANES_NATIVE_MAX_W = 256
+
+
 def generation_for(x_shape) -> str:
     """Which kernel generation handles a (B, H, W, Cin) map.
 
     Under "auto": the lanes kernels inside their native envelope
-    (8 <= W <= 128 lane extent, Cin <= 512 VMEM working set — measured
-    fastest there across the whole DLA ladder, A/B on v5e), the "select"
-    kernels everywhere else (wide eval maps, MobileNetV2's 1280-channel
-    neck head; measured fastest there at every offset scale) — one
+    (8 <= W <= 256 lane extent — Mosaic lane-tiles widths past 128 —
+    Cin <= 512 VMEM working set; measured fastest there across the whole
+    DLA ladder AND the 800px eval pyramid's W=200 maps, A/B on v5e), the
+    "select" kernels everywhere else (MobileNetV2's 1280-channel neck
+    head, W > 256; measured fastest there at every offset scale) — one
     generation per shape for BOTH directions, so no shape ever
     differentiates through the slow XLA formulation."""
     if _KERNEL_VERSION != "auto":
         return _KERNEL_VERSION
     w, cin = x_shape[2], x_shape[3]
-    if 8 <= w <= 128 and cin <= 512:
+    if 8 <= w <= _LANES_NATIVE_MAX_W and cin <= 512:
         return "lanes"
     return "select"
 
@@ -123,14 +135,20 @@ def _row_block(h: int, cin: int) -> int:
     import os
 
     env = os.environ.get("DCN_RBLK")  # perf-tuning A/B knob
-    if env and h % int(env) == 0:
+    if env and h >= int(env):
         return int(env)
     # keep the (R, Cin, W) f32 accumulator + (R, W, W) selects in VMEM
     budget = max(4096 // max(cin, 1), 8)
     # 64-row blocks measured ~10% SLOWER at the hot shape (VMEM pressure
     # outweighs the per-block savings)
     for r in (32, 16, 8):
-        if r <= budget and h % r == 0 and h >= r:
+        if r > budget or h < r:
+            continue
+        # staging pads H to whole blocks (padded rows contribute exactly
+        # zero in both directions); accept a block size whose padding
+        # waste stays under ~12.5% — e.g. H=200 runs r=32 over 224 rows
+        # instead of 25 tiny r=8 programs
+        if (-(-h // r) * r - h) / h <= 0.125:
             return r
     return min(h, 8)
 
@@ -383,7 +401,9 @@ def dcn_v2_pallas_lanes(
     assert (kh, kw) == (3, 3), "pallas DCN kernel is 3x3 only"
     assert offset.shape == (b, h, w, 18)
     assert mask.shape == (b, h, w, 9)
-    if w > 128:
+    if w > _LANES_NATIVE_MAX_W:
+        # beyond two lane tiles: overlapping 128-lane panels (horizontal
+        # offsets clamp there; the native path below samples x exactly)
         return _dcn_v2_pallas_wide(x, offset, mask, weight, bias,
                                    max_shift, interpret)
 

@@ -143,13 +143,17 @@ def test_auto_generation_routing():
     assert dcn_pallas.get_kernel_version() == "auto"
     assert dcn_pallas.generation_for((16, 128, 128, 64)) == "lanes"
     assert dcn_pallas.generation_for((4, 8, 16, 512)) == "lanes"
-    assert dcn_pallas.generation_for((4, 200, 200, 64)) == "select"
+    # the 800px eval pyramid's W=200 maps run lanes NATIVELY (two lane
+    # tiles, exact horizontal sampling) — measured faster than select in
+    # both directions on v5e (round 5)
+    assert dcn_pallas.generation_for((4, 200, 200, 64)) == "lanes"
+    assert dcn_pallas.generation_for((4, 300, 300, 64)) == "select"
     assert dcn_pallas.generation_for((16, 16, 16, 1280)) == "select"
     assert dcn_pallas.generation_for((4, 8, 4, 8)) == "select"  # W < 8
     old = dcn_pallas.get_kernel_version()
     try:
         dcn_pallas.set_kernel_version("lanes")
-        assert dcn_pallas.generation_for((4, 200, 200, 64)) == "lanes"
+        assert dcn_pallas.generation_for((4, 300, 300, 64)) == "lanes"
         dcn_pallas.set_kernel_version("select")
         assert dcn_pallas.generation_for((16, 128, 128, 64)) == "select"
         with pytest.raises(ValueError):
@@ -173,9 +177,9 @@ def test_unsupported_shapes_fall_back(rng):
 
 
 def test_wide_maps(rng, kver):
-    """W > 128 (the 800px eval pyramid, W=200): overlapping panels under
-    lanes (which additionally clamp dx so a panel never samples outside
-    its window), the ordinary exact code path under select."""
+    """128 < W <= 256 (the 800px eval pyramid, W=200): NATIVE lanes
+    kernels (two lane tiles, exact horizontal sampling — same clamp
+    semantics as select), the ordinary exact code path under select."""
     b, h, w, cin, cout = 1, 8, 140, 8, 8
     x = jnp.asarray(rng.randn(b, h, w, cin).astype(np.float32))
     off = jnp.asarray((rng.randn(b, h, w, 18) * 1.5).astype(np.float32))
@@ -183,16 +187,50 @@ def test_wide_maps(rng, kver):
     wgt = jnp.asarray((rng.randn(3, 3, cin, cout) * 0.1).astype(np.float32))
     bias = jnp.asarray(rng.randn(cout).astype(np.float32))
 
-    if kver == "lanes":
-        def ref(x, off, m, wgt, bias):
-            o = off.reshape(off.shape[:-1] + (9, 2))
-            o = jnp.clip(o, -PALLAS_MAX_SHIFT, PALLAS_MAX_SHIFT)
-            return dcn_v2(x, o.reshape(off.shape), m, wgt, bias)
-    else:
-        ref = xla_clamped(kver)
-    want = np.asarray(ref(x, off, m, wgt, bias))
+    want = np.asarray(xla_clamped(kver)(x, off, m, wgt, bias))
     got = np.asarray(dcn_v2_pallas(x, off, m, wgt, bias, interpret=True))
     np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
+
+
+def test_panel_wide_maps_beyond_native(rng):
+    """W > 256 under forced lanes: overlapping panels (which additionally
+    clamp dx so a panel never samples outside its window)."""
+    b, h, w, cin, cout = 1, 8, 300, 8, 8
+    x = jnp.asarray(rng.randn(b, h, w, cin).astype(np.float32))
+    off = jnp.asarray((rng.randn(b, h, w, 18) * 1.5).astype(np.float32))
+    m = jnp.asarray(rng.rand(b, h, w, 9).astype(np.float32))
+    wgt = jnp.asarray((rng.randn(3, 3, cin, cout) * 0.1).astype(np.float32))
+    bias = jnp.asarray(rng.randn(cout).astype(np.float32))
+
+    def ref(x, off, m, wgt, bias):
+        o = off.reshape(off.shape[:-1] + (9, 2))
+        o = jnp.clip(o, -PALLAS_MAX_SHIFT, PALLAS_MAX_SHIFT)
+        return dcn_v2(x, o.reshape(off.shape), m, wgt, bias)
+
+    old = dcn_pallas.get_kernel_version()
+    dcn_pallas.set_kernel_version("lanes")
+    try:
+        want = np.asarray(ref(x, off, m, wgt, bias))
+        got = np.asarray(dcn_v2_pallas(x, off, m, wgt, bias, interpret=True))
+        np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
+    finally:
+        dcn_pallas.set_kernel_version(old)
+
+
+def test_wide_native_lanes_backward(rng):
+    """128 < W <= 256 lanes backward runs the NATIVE fused kernel (no XLA
+    fallback, no panels) and matches the dy-clamped XLA vjp."""
+    b, h, w, cin, cout = 1, 8, 140, 8, 8
+    x = jnp.asarray(rng.randn(b, h, w, cin).astype(np.float32))
+    off = jnp.asarray((rng.randn(b, h, w, 18) * 1.5).astype(np.float32))
+    m = jnp.asarray(rng.rand(b, h, w, 9).astype(np.float32))
+    wgt = jnp.asarray((rng.randn(3, 3, cin, cout) * 0.1).astype(np.float32))
+    bias = jnp.asarray(rng.randn(cout).astype(np.float32))
+    g = jnp.asarray(rng.randn(b, h, w, cout).astype(np.float32))
+
+    got = dcn_v2_pallas_bwd_lanes(x, off, m, wgt, g, interpret=True)
+    _, vjp = jax.vjp(xla_clamped("lanes"), x, off, m, wgt, bias)
+    assert_grads_close(got, vjp(g))
 
 
 def test_wide_map_fused_backward_select(rng):

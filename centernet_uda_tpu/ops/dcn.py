@@ -336,7 +336,7 @@ def _fused_supported(x, cin: int, cout: int, kernel_size, stride, padding,
         and _pair(padding) == (1, 1)
         and _pair(dilation) == (1, 1)
         and dcn_pallas.generation_for(x.shape) == "lanes"
-        and 8 <= x.shape[2] <= 128
+        and 8 <= x.shape[2] <= dcn_pallas._LANES_NATIVE_MAX_W
     )
 
 

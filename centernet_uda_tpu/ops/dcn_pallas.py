@@ -1083,7 +1083,7 @@ def dcn_v2_pallas_lanes_fused(
     kh, kw, _, cout = weight.shape
     assert (kh, kw) == (3, 3), "pallas DCN kernel is 3x3 only"
     assert om_kernel.shape == (3, 3, cin, 27)
-    assert w <= 128, "fused lanes kernel is native-width only"
+    assert w <= _LANES_NATIVE_MAX_W, "fused lanes kernel is native-width only"
 
     pad_rows = max_shift + 2
     r_blk = _row_block(h, cin)

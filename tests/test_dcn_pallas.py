@@ -375,6 +375,38 @@ def test_fused_forward_zero_init_is_masked_conv(rng):
     assert float(stat) == 0.0
 
 
+def test_fused_wide_native(rng):
+    """128 < W <= 256: the fused-offset-conv kernels run natively (the
+    800px eval pyramid) — the in-kernel lane rolls of ``_om_block`` must
+    stay correct across the 128-lane tile boundary, both directions."""
+    from centernet_uda_tpu.ops.dcn_pallas import (
+        dcn_v2_pallas_bwd_lanes_fused, dcn_v2_pallas_lanes_fused)
+
+    b, h, w, cin, cout = 1, 8, 140, 8, 8
+    x, om_k, om_b, wgt, bias = _fused_inputs(rng, b=b, h=h, w=w,
+                                             cin=cin, cout=cout)
+    out, _ = dcn_v2_pallas_lanes_fused(x, om_k, om_b, wgt, bias,
+                                       interpret=True)
+    offset, mask = _om_composition(x, om_k, om_b)
+    want = np.asarray(dcn_v2(x.astype(jnp.float32), offset, mask,
+                             wgt.astype(jnp.float32), bias))
+    np.testing.assert_allclose(np.asarray(out, np.float32), want,
+                               atol=8e-2, rtol=8e-2)
+
+    g = jnp.asarray(rng.randn(b, h, w, cout).astype(np.float32))
+    got = dcn_v2_pallas_bwd_lanes_fused(x, om_k, om_b, wgt, g,
+                                        interpret=True)
+
+    def ref(x, om_k, om_b, wgt, bias):
+        offset, mask = _om_composition(x, om_k, om_b)
+        return xla_clamped("lanes")(x.astype(jnp.float32), offset, mask,
+                                    wgt.astype(jnp.float32), bias)
+
+    _, vjp = jax.vjp(ref, x, om_k, om_b, wgt, bias)
+    assert_grads_close(got, vjp(g),
+                       names=("dx", "dom_kernel", "dom_bias", "dw", "db"))
+
+
 def test_fused_backward_matches_composition(rng):
     """All five gradients of the fused op vs jax.vjp through the explicit
     composition (f32 offset conv -> clamped XLA dcn_v2)."""

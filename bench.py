@@ -79,6 +79,25 @@ _PEAK_BF16 = {
 }
 
 
+def _warm(fn, *args, tries: int = 3, **kwargs):
+    """First (compiling) call of a jitted function, retried on transient
+    axon remote-compile tunnel failures ("response body closed before all
+    bytes were read" — observed killing an otherwise-green bench run r05).
+    The persistent compile cache makes the retry cheap; real compile
+    errors (non-INTERNAL) surface immediately."""
+    for attempt in range(tries):
+        try:
+            return fn(*args, **kwargs)
+        except Exception as exc:  # jax.errors.JaxRuntimeError et al.
+            transient = ("remote_compile" in str(exc)
+                         or "INTERNAL" in str(exc))
+            if not transient or attempt == tries - 1:
+                raise
+            print(f"# transient compile-tunnel error (attempt {attempt + 1}/"
+                  f"{tries}): {str(exc)[:160]}", file=sys.stderr, flush=True)
+            time.sleep(3.0 * (attempt + 1))
+
+
 class _Stages:
     """Per-stage results + skip reasons, all landing in the final JSON."""
 
@@ -131,10 +150,10 @@ def main():
     # cheap-compile micro-benches run FIRST with independent gates (a slow
     # decode compile can no longer starve the DCN stage — VERDICT r04 #6);
     # the expensive stages run after the core measurement.
-    gate_decode = float(os.environ.get("BENCH_GATE_DECODE_S", "120"))
-    gate_dcn = float(os.environ.get("BENCH_GATE_DCN_S", "210"))
-    gate_800 = float(os.environ.get("BENCH_GATE_800_S", "390"))
-    gate_pipe = float(os.environ.get("BENCH_GATE_PIPE_S", "450"))
+    gate_decode = float(os.environ.get("BENCH_GATE_DECODE_S", "150"))
+    gate_dcn = float(os.environ.get("BENCH_GATE_DCN_S", "240"))
+    gate_800 = float(os.environ.get("BENCH_GATE_800_S", "480"))
+    gate_pipe = float(os.environ.get("BENCH_GATE_PIPE_S", "560"))
 
     dcn_ops.set_pallas_default(os.environ.get("BENCH_DCN", "auto"))
 
@@ -176,7 +195,7 @@ def main():
         hm = jnp.zeros((batch_size, out_hw, out_hw, 6), jnp.float32)
         whx = jnp.ones((batch_size, out_hw, out_hw, 2), jnp.float32)
         regx = jnp.zeros((batch_size, out_hw, out_hw, 2), jnp.float32)
-        d = hm_only(hm, whx, regx)
+        d = _warm(hm_only, hm, whx, regx)
         sync(d)
         n_dec = max(steps * 5, 50)
         t0 = time.perf_counter()
@@ -215,18 +234,19 @@ def main():
 
     # --- training throughput -------------------------------------------
     # Two measurements of the same step function:
-    #  * dispatch loop (methodology of rounds 1-4, kept as
-    #    train_images_per_sec_dispatch): one jit dispatch per step. Through
-    #    the axon debug tunnel every dispatch costs ~3 ms of WALL time that
-    #    a real TPU host overlaps with device execution (async dispatch) —
-    #    BASELINE.md round-4 measurement caveat.
-    #  * scan chunk (headline train_images_per_sec): BENCH_CHUNK steps in
-    #    ONE jit via lax.scan over the SAME pure train_step — the device's
-    #    steady-state step rate with the tunnel dispatch amortized, i.e.
-    #    what a pipelined training loop sustains per chip. Cross-checked
-    #    against jax.profiler device step time (tools/profile_step.py).
+    #  * dispatch loop (headline, the methodology of every round): one jit
+    #    dispatch per step, `steps` dispatches pipelined asynchronously and
+    #    synchronized once by a host fetch — dispatch overhead overlaps
+    #    device execution exactly as on a production host.
+    #  * scan chunk (secondary, train_images_per_sec_scan): BENCH_CHUNK
+    #    steps in ONE jit via lax.scan over the SAME pure train_step.
+    #    Measured r05 on v5e: within ~1.5% of the dispatch loop (slightly
+    #    SLOWER — async dispatch already pipelines; the scan only adds
+    #    loop structure), kept as a cross-check that no per-step host
+    #    overhead hides in the headline number.
     t_core = time.perf_counter()
-    for _ in range(warmup):
+    out = _warm(trainer.step, batch, is_training=True)
+    for _ in range(warmup - 1):
         out = trainer.step(batch, is_training=True)
     sync(out["stats"]["total_loss"])
 
@@ -235,7 +255,7 @@ def main():
         out = trainer.step(batch, is_training=True)
     sync(out["stats"]["total_loss"])
     train_dt = time.perf_counter() - t0
-    train_ips_dispatch = batch_size * steps / train_dt
+    train_ips = batch_size * steps / train_dt
 
     import functools
 
@@ -252,7 +272,7 @@ def main():
         return st, losses[-1]
 
     st = trainer.state
-    st, last = train_chunk(st, batch)  # compile + warm
+    st, last = _warm(train_chunk, st, batch)  # compile + warm
     sync(last)
     n_chunks = max(steps // chunk, 2)
     t0 = time.perf_counter()
@@ -261,7 +281,7 @@ def main():
     sync(last)
     train_dt = time.perf_counter() - t0
     trainer.state = st  # keep the trained state for the infer stages
-    train_ips = batch_size * chunk * n_chunks / train_dt
+    train_ips_scan = batch_size * chunk * n_chunks / train_dt
 
     # --- inference (forward + decode) throughput ------------------------
     module = trainer.backend.module
@@ -278,14 +298,14 @@ def main():
         )
 
     x = jnp.asarray(batch["input"])
-    dets = infer(state.params, state.batch_stats, x)
+    dets = _warm(infer, state.params, state.batch_stats, x)
     sync(dets)
     t0 = time.perf_counter()
     for _ in range(steps):
         dets = infer(state.params, state.batch_stats, x)
     sync(dets)
     infer_dt = time.perf_counter() - t0
-    infer_ips_dispatch = batch_size * steps / infer_dt
+    infer_ips = batch_size * steps / infer_dt
 
     # scan-chunked inference (headline; same rationale as train_chunk). The
     # input is perturbed by a negligible function of the carry and the carry
@@ -308,13 +328,13 @@ def main():
                               length=chunk)
         return acc
 
-    acc = infer_chunk(state.params, state.batch_stats, x)
+    acc = _warm(infer_chunk, state.params, state.batch_stats, x)
     sync(acc)
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         acc = infer_chunk(state.params, state.batch_stats, x)
     sync(acc)
-    infer_ips = batch_size * chunk * n_chunks / (time.perf_counter() - t0)
+    infer_ips_scan = batch_size * chunk * n_chunks / (time.perf_counter() - t0)
     stages.seconds["core"] = round(time.perf_counter() - t_core, 1)
 
     # --- STAGE 4: 800px eval-resolution inference (defaults.yaml:67): the
@@ -324,7 +344,7 @@ def main():
         x800 = jnp.asarray(
             np.random.RandomState(0)
             .randn(b800, 800, 800, 3).astype(np.float32))
-        a = infer_chunk(state.params, state.batch_stats, x800)
+        a = _warm(infer_chunk, state.params, state.batch_stats, x800)
         sync(a)
         t0 = time.perf_counter()
         for _ in range(n_chunks):
@@ -375,10 +395,10 @@ def main():
     detail = {
         "train_images_per_sec": round(train_ips, 2),
         "infer_images_per_sec": round(infer_ips, 2),
-        # rounds 1-4 methodology (one tunnel dispatch per step; ~3 ms/step
-        # of axon-tunnel wall overhead a real host overlaps — BASELINE.md)
-        "train_images_per_sec_dispatch": round(train_ips_dispatch, 2),
-        "infer_images_per_sec_dispatch": round(infer_ips_dispatch, 2),
+        # cross-check: BENCH_CHUNK steps per jit via lax.scan (see the
+        # training-throughput comment; within ~1.5% of the headline)
+        "train_images_per_sec_scan": round(train_ips_scan, 2),
+        "infer_images_per_sec_scan": round(infer_ips_scan, 2),
         "scan_chunk": chunk,
         "mfu_train": mfu_train,
         "mfu_infer": mfu_infer,
@@ -441,7 +461,7 @@ def _bench_dcn_ops(jax, jnp, sync, steps):
 
     bwd = jax.jit(bwd_loss)
 
-    y = fwd(x, off, mask, wgt)
+    y = _warm(fwd, x, off, mask, wgt)
     sync(y)
     t0 = time.perf_counter()
     for _ in range(steps):
@@ -449,7 +469,7 @@ def _bench_dcn_ops(jax, jnp, sync, steps):
     sync(y)
     fwd_ms = (time.perf_counter() - t0) / steps * 1e3
 
-    g = bwd(x, off, mask, wgt)
+    g = _warm(bwd, x, off, mask, wgt)
     sync(g)
     t0 = time.perf_counter()
     for _ in range(steps):

@@ -131,12 +131,18 @@ def generation_for(x_shape) -> str:
     return "select"
 
 
-def _row_block(h: int, cin: int) -> int:
+def _row_block(h: int, cin: int, w: int = 128) -> int:
     import os
 
     env = os.environ.get("DCN_RBLK")  # perf-tuning A/B knob
     if env and h >= int(env):
         return int(env)
+    if w > 128:
+        # the (R, W, W) select/hat/corner buffers grow quadratically in W;
+        # past one lane tile the smallest block wins — A/B at 8x200x200x64
+        # on v5e: bwd 13.7 (r=8) / 15.7 (16) / 17.4 (32) ms, fwd 7.7 / 7.8
+        # / 8.6
+        return min(h, 8)
     # keep the (R, Cin, W) f32 accumulator + (R, W, W) selects in VMEM
     budget = max(4096 // max(cin, 1), 8)
     # 64-row blocks measured ~10% SLOWER at the hot shape (VMEM pressure
@@ -408,7 +414,7 @@ def dcn_v2_pallas_lanes(
                                    max_shift, interpret)
 
     pad_rows = max_shift + 2
-    r_blk = _row_block(h, cin)
+    r_blk = _row_block(h, cin, w)
     # pad H to a whole number of row blocks (e.g. the 100-row maps of 800px
     # eval); padded rows have zero offsets/mask and are sliced away
     h_pad = -(-h // r_blk) * r_blk
@@ -778,7 +784,7 @@ def _bwd_stage(x, offset, mask, weight, g, max_shift):
     # one (R, Cin, W) accumulator + the (R, W, Cout) cotangent + the
     # (R, W, W) select + (R, W, W) corner contraction bound the block
     # height (the matmul-based body dropped the old *2 safety factor)
-    r_blk = _row_block(h, max(cin, cout))
+    r_blk = _row_block(h, max(cin, cout), w)
     # pad H to whole row blocks (padded rows: zero offsets/mask/cotangent ->
     # zero contributions; outputs sliced back to h)
     h_pad = -(-h // r_blk) * r_blk
@@ -1086,7 +1092,7 @@ def dcn_v2_pallas_lanes_fused(
     assert w <= _LANES_NATIVE_MAX_W, "fused lanes kernel is native-width only"
 
     pad_rows = max_shift + 2
-    r_blk = _row_block(h, cin)
+    r_blk = _row_block(h, cin, w)
     h_pad = -(-h // r_blk) * r_blk
     extra = h_pad - h
 
@@ -1367,7 +1373,7 @@ def dcn_v2_pallas_bwd_lanes_fused(
     b, h, w, cin = x.shape
     cout = weight.shape[3]
     pad_rows = max_shift + 2
-    r_blk = _row_block(h, max(cin, cout))
+    r_blk = _row_block(h, max(cin, cout), w)
     h_pad = -(-h // r_blk) * r_blk
     extra = h_pad - h
 

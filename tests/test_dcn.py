@@ -278,14 +278,22 @@ def test_slow_path_warnings(caplog):
         assert any("Cin > 512" in r.message for r in caplog.records)
         caplog.clear()
 
-        # W > 128 -> panel-tiled forward, XLA backward warning. The warning
-        # fires at trace time, so abstract evaluation is enough (the wide
-        # Pallas kernel itself cannot lower on the CPU test backend).
+        # W <= 256 is NATIVE lanes both directions since r05 (Mosaic
+        # lane-tiles widths past 128) — no warning at W=200 ...
         x_wide = jnp.zeros((1, 8, 200, 16), jnp.float32)
         with caplog.at_level(logging.WARNING,
                              logger="centernet_uda_tpu.ops.dcn"):
             jax.eval_shape(dcn_mod.DCN(features=8, use_pallas=True).init,
                            rng, x_wide)
+        assert not caplog.records
+        # ... but W > 256 -> panel-tiled forward, XLA backward warning. The
+        # warning fires at trace time, so abstract evaluation is enough (the
+        # wide Pallas kernel itself cannot lower on the CPU test backend).
+        x_panel = jnp.zeros((1, 8, 300, 16), jnp.float32)
+        with caplog.at_level(logging.WARNING,
+                             logger="centernet_uda_tpu.ops.dcn"):
+            jax.eval_shape(dcn_mod.DCN(features=8, use_pallas=True).init,
+                           rng, x_panel)
         assert any("backward differentiates through the XLA" in r.message
                    for r in caplog.records)
         caplog.clear()
